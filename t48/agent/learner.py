@@ -1,0 +1,115 @@
+"""Double-DQN learner: targets, loss, optimizer step, target sync.
+
+Reference: ``train_step`` (/root/reference/src/dqn_lib.py:119-164).
+
+- Double-DQN target (dqn_lib.py:125-132):
+    a* = argmax_a Q_online(s', a)
+    y  = r + (1 − done) · γ · Q_target(s', a*)
+- Vanilla target (dqn_lib.py:133-144): y = r + (1−done)·γ·max_a Q_target(s',a)
+- Loss: MSE with **sum** reduction over the batch
+  (``nn.MSELoss(reduction='sum')``, configs/double_dqn_conv.py:38) on the
+  Q-values of the taken actions (one-hot mask, dqn_lib.py:146-155).
+- Optimizer: Adam (configs/double_dqn_conv.py:39).
+- Hard target sync: params copied wholesale (dqn_lib.py:227-228).
+
+Known reference bug, NOT reproduced by default: the published code calls
+``loss.backward(); optimizer.zero_grad(); optimizer.step()``
+(dqn_lib.py:161-163), zeroing gradients before applying them — the
+published training effectively applies zero-gradient Adam updates. We
+implement the canonical order; ``compat_zero_update=True`` emulates the
+literal reference behavior (optimizer state advances, params get the Adam
+update of a zero gradient) for curve-matching the published artifact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from t48.replay.buffer import Transition
+
+
+def double_dqn_targets(apply_fn, params, target_params, encode, batch, discount):
+    """y = r + (1−done)·γ·Q_target(s', argmax_a Q_online(s', a))."""
+    next_enc = encode(batch.next_state)
+    next_q_online = apply_fn(params, next_enc)
+    best_next = jnp.argmax(next_q_online, axis=-1)
+    next_q_target = apply_fn(target_params, next_enc)
+    next_best_q = jnp.take_along_axis(
+        next_q_target, best_next[:, None], axis=-1
+    )[:, 0]
+    not_done = 1.0 - batch.done.astype(jnp.float32)
+    return batch.reward + not_done * discount * next_best_q
+
+
+def vanilla_dqn_targets(apply_fn, params, target_params, encode, batch, discount):
+    """y = r + (1−done)·γ·max_a Q_target(s', a) (dqn_lib.py:133-144)."""
+    del params
+    next_q_target = apply_fn(target_params, encode(batch.next_state))
+    not_done = 1.0 - batch.done.astype(jnp.float32)
+    return batch.reward + not_done * discount * next_q_target.max(-1)
+
+
+def td_loss(
+    apply_fn: Callable,
+    params,
+    target_params,
+    encode: Callable,
+    batch: Transition,
+    discount: float,
+    use_double_dqn: bool = True,
+):
+    """Sum-reduced MSE TD loss of the taken actions' Q-values."""
+    target_fn = double_dqn_targets if use_double_dqn else vanilla_dqn_targets
+    targets = jax.lax.stop_gradient(
+        target_fn(apply_fn, params, target_params, encode, batch, discount)
+    )
+    q_all = apply_fn(params, encode(batch.state))
+    q_taken = jnp.take_along_axis(q_all, batch.action[:, None], axis=-1)[:, 0]
+    return jnp.sum(jnp.square(q_taken - targets))
+
+
+class LearnerOutput(NamedTuple):
+    params: object
+    opt_state: object
+    loss: jax.Array
+
+
+def make_train_step(
+    apply_fn: Callable,
+    encode: Callable,
+    optimizer: optax.GradientTransformation,
+    discount: float,
+    use_double_dqn: bool = True,
+    compat_zero_update: bool = False,
+):
+    """Build the jittable learner update.
+
+    Returns ``train_step(params, target_params, opt_state, batch) ->
+    LearnerOutput``. With ``compat_zero_update`` the gradient is replaced
+    by zeros *after* loss computation, emulating the reference's
+    backward→zero_grad→step ordering bug (dqn_lib.py:161-163).
+    """
+
+    def train_step(params, target_params, opt_state, batch: Transition):
+        loss, grads = jax.value_and_grad(
+            lambda p: td_loss(
+                apply_fn, p, target_params, encode, batch, discount, use_double_dqn
+            )
+        )(params)
+        if compat_zero_update:
+            grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return LearnerOutput(new_params, new_opt_state, loss)
+
+    return train_step
+
+
+def sync_target(params):
+    """Hard target-network sync (dqn_lib.py:227-228): target ← online."""
+    return jax.tree_util.tree_map(lambda x: x, params)

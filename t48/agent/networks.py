@@ -1,0 +1,89 @@
+"""Q-networks: dense and conv, as Flax modules in TPU-friendly fp32.
+
+Architectures mirror the reference configs exactly:
+
+- Dense  16→512→512→256→4 with ReLU
+  (/root/reference/src/configs/double_dqn_dense.py:7-15).
+- Conv   1→64 (2×2 valid) → 64 (2×2 valid) → flatten(256) → 64 → 4 with
+  ReLU (/root/reference/src/configs/double_dqn_conv.py:19-28).
+
+Deliberate divergences from the reference, documented per SURVEY.md §7.3:
+
+- fp32 instead of the reference's ``.double()`` float64
+  (configs/double_dqn_conv.py:28) — float64 runs at a tiny fraction of
+  TPU matmul throughput; the Q-learning curve is insensitive at these
+  scales (validated by the training integration test).
+- NHWC conv layout instead of NCHW (``state_as_4d_tensor`` builds
+  (1,1,4,4), board.py:236-237) — NHWC is the native TPU conv layout.
+
+These nets are tiny (≤ ~0.4M params), so the batched forward is one fused
+XLA program; no Pallas needed for the model itself — the win is batching
+thousands of boards per forward, not hand-tiling a 16→512 matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class DenseQNet(nn.Module):
+    """MLP Q-net over flat log2 boards (configs/double_dqn_dense.py:7-15)."""
+
+    hidden: Tuple[int, ...] = (512, 512, 256)
+    num_actions: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: f32[B, K*K]
+        x = x.astype(self.dtype)
+        for width in self.hidden:
+            x = nn.Dense(width, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return nn.Dense(self.num_actions, dtype=self.dtype)(x)
+
+
+class ConvQNet(nn.Module):
+    """Conv Q-net over [B, K, K, 1] log2 boards
+    (configs/double_dqn_conv.py:19-28)."""
+
+    features: Tuple[int, ...] = (64, 64)
+    kernel: Tuple[int, int] = (2, 2)
+    fc_width: int = 64
+    num_actions: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: f32[B, K, K, 1] (NHWC)
+        x = x.astype(self.dtype)
+        for feats in self.features:
+            x = nn.Conv(feats, self.kernel, padding="VALID", dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(self.fc_width, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.num_actions, dtype=self.dtype)(x)
+
+
+def build_network(arch: str) -> nn.Module:
+    """'dense' | 'conv' → module (the reference's two model families)."""
+    if arch == "dense":
+        return DenseQNet()
+    if arch == "conv":
+        return ConvQNet()
+    raise ValueError(f"unknown architecture: {arch!r}")
+
+
+def init_params(net: nn.Module, key: jax.Array, example_input: jax.Array):
+    """Initialize parameters for ``net`` given an example encoded batch."""
+    return net.init(key, example_input)
+
+
+def make_apply(net: nn.Module) -> Callable:
+    """Returns ``apply(params, encoded_boards) -> Q[B, 4]``."""
+    return net.apply
