@@ -1,0 +1,240 @@
+"""t48 CLI: train / evaluate / seed-replay / play / bench.
+
+Replaces the reference's three driver scripts + player + interactive main
+(/root/reference/src/double_dqn_{conv,dense}.py, double_dqn_conv_sss.py,
+player.py:91-106, board.py:263-271) with one argparse CLI:
+
+  python -m t48 train --preset conv --job myrun
+  python -m t48 train --preset dense --env-batch 2048
+  python -m t48 evaluate --job myrun --games 1000
+  python -m t48 baselines --games 1000          # random + upleft runs
+  python -m t48 seed-replay --games 100 --out seed.npz
+  python -m t48 play                            # interactive stdin game
+  python -m t48 bench
+
+The reference asks for the job name interactively (double_dqn_conv.py:19);
+``--job`` passes it as a flag, and omitting it auto-names the folder the
+same way (exp_{n}_{hash}, experiments.py:100-102).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_config_overrides(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--preset", default="conv",
+                        help="double_dqn_conv|double_dqn_dense|double_dqn_conv_sss "
+                             "(aliases: conv, dense, conv_sss)")
+    parser.add_argument("--env-batch", type=int, default=None)
+    parser.add_argument("--episodes", type=int, default=None,
+                        help="override no_episodes")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--learning-rate", type=float, default=None)
+    parser.add_argument("--chunk-iters", type=int, default=None)
+    parser.add_argument("--policy-compat", choices=["masked", "reference"],
+                        default=None)
+
+
+def _build_config(args):
+    from t48.configs import get_preset
+
+    overrides = {}
+    if args.env_batch is not None:
+        overrides["env_batch"] = args.env_batch
+    if args.episodes is not None:
+        overrides["no_episodes"] = args.episodes
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.learning_rate is not None:
+        overrides["learning_rate"] = args.learning_rate
+    if args.chunk_iters is not None:
+        overrides["chunk_iters"] = args.chunk_iters
+    if args.policy_compat is not None:
+        overrides["policy_compat"] = args.policy_compat
+    return get_preset(args.preset, **overrides)
+
+
+def cmd_train(args) -> int:
+    from t48.train.trainer import train
+
+    config = _build_config(args)
+    state, experiment = train(
+        config,
+        root_dir=args.root,
+        job_name=args.job,
+        resume=args.resume,
+        max_episodes=args.max_episodes,
+    )
+    print(f"Training complete: {int(state.episodes_done)} episodes, "
+          f"{int(state.train_steps)} learner updates → {experiment.folder}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import jax
+
+    from t48.baselines.players import Player
+    from t48.configs import T48Config
+    from t48.exp.checkpoint import restore_checkpoint
+    from t48.exp.experiment import Experiment
+    from t48.train.loop import create_train_state, _encoder_for
+    from t48.agent.networks import build_network
+    import os
+
+    experiment = Experiment(root_dir=args.root, folder_name=args.job, resumed=True)
+    config_path = os.path.join(experiment.folder, "text/config.json")
+    with open(config_path) as f:
+        config = T48Config.from_json(f.read())
+    template = create_train_state(config)
+    state = restore_checkpoint(experiment.checkpoint_path, template)
+    net = build_network(config.arch)
+    player = Player(
+        experiment=experiment,
+        apply_fn=net.apply,
+        params=state.params,
+        encode=_encoder_for(config.arch, config.board_k),
+        encoding=args.encoding,
+    )
+    stats = player.play_n_games(
+        args.games, seed=args.seed, record_history=args.histories
+    )
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def cmd_baselines(args) -> int:
+    """The reference's player.py main(): 1000 random + 1000 upleft games
+    into random_baseline/ and upleft_baseline/ folders (player.py:91-106)."""
+    from t48.baselines.players import Player
+    from t48.exp.experiment import Experiment
+
+    print("Random Games")
+    random_exp = Experiment(root_dir=args.root, folder_name="random_baseline")
+    random_player = Player(experiment=random_exp)
+    stats = random_player.play_n_games(args.games, random=True, seed=args.seed,
+                                       record_history=args.histories)
+    print(json.dumps(stats, indent=2))
+
+    print("Upleft games")
+    upleft_exp = Experiment(root_dir=args.root, folder_name="upleft_baseline")
+    upleft_player = Player(experiment=upleft_exp)
+    stats = upleft_player.play_n_games(args.games, upleft=True, seed=args.seed,
+                                       record_history=args.histories)
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def cmd_seed_replay(args) -> int:
+    import numpy as np
+
+    from t48.search.seeding import generate_replay_transitions
+
+    tr = generate_replay_transitions(
+        games=args.games,
+        max_expansions=args.max_expansions,
+        seed=args.seed,
+        verbose=True,
+    )
+    np.savez(
+        args.out,
+        state=tr.state,
+        action=tr.action,
+        reward=tr.reward,
+        next_state=tr.next_state,
+        done=tr.done,
+    )
+    print(f"{tr.action.shape[0]} transitions → {args.out}")
+    return 0
+
+
+def cmd_play(args) -> int:
+    """Interactive stdin game (board.py:263-271)."""
+    from t48.env.golden import GoldenBoard
+
+    board = GoldenBoard()
+    board.show(ignore_zeros=True)
+    while True:
+        try:
+            move = input("What is your next move: ")
+        except EOFError:
+            break
+        if not move:
+            break
+        try:
+            board = board.peek_action(move)
+        except ValueError as e:
+            print(e)
+            continue
+        board.show(ignore_zeros=True)
+        if not board.available_moves_mask().any():
+            print("No moves left!")
+            break
+    print(f"Final Score: {board.merge_score()}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from t48.analysis.bench import run_bench
+
+    result = run_bench(env_batch=args.env_batch, iters=args.iters)
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="t48", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="run a training job")
+    _add_config_overrides(p)
+    p.add_argument("--job", default=None, help="job folder name")
+    p.add_argument("--root", default="experiments")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-episodes", type=int, default=None,
+                   help="stop early after this many episodes")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="play games with a trained model")
+    p.add_argument("--job", required=True)
+    p.add_argument("--root", default="experiments")
+    p.add_argument("--games", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--encoding", choices=["log", "normalized"], default="log")
+    p.add_argument("--histories", action="store_true",
+                   help="record and persist full game histories")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("baselines", help="random + upleft baseline runs")
+    p.add_argument("--root", default="experiments")
+    p.add_argument("--games", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--histories", action="store_true")
+    p.set_defaults(fn=cmd_baselines)
+
+    p = sub.add_parser("seed-replay", help="generate A*-seeded transitions")
+    p.add_argument("--games", type=int, default=100)
+    p.add_argument("--max-expansions", type=int, default=20000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="seed_replay.npz")
+    p.set_defaults(fn=cmd_seed_replay)
+
+    p = sub.add_parser("play", help="interactive stdin game")
+    p.set_defaults(fn=cmd_play)
+
+    p = sub.add_parser("bench", help="env-throughput benchmark")
+    p.add_argument("--env-batch", type=int, default=8192)
+    p.add_argument("--iters", type=int, default=2048)
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

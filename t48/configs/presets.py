@@ -1,0 +1,136 @@
+"""Dataclass configs with per-experiment presets.
+
+The reference defines configs as Python modules that build torch models at
+import time and star-export ~16 globals (SURVEY.md C16;
+/root/reference/src/configs/double_dqn_{conv,dense,sss}.py). Here a config
+is a frozen dataclass; models/optimizers are built from it explicitly by
+the trainer. The three presets mirror the reference's names and values
+exactly; TPU-native knobs (env batch, mesh shape, policy compat) are
+additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class T48Config:
+    """All hyperparameters of one experiment.
+
+    The first block mirrors the reference's HYPERPARAMS dict keys
+    (configs/double_dqn_conv.py:49-65) so saved hyperparams JSON is
+    comparable side-by-side.
+    """
+
+    name: str = "double_dqn_conv"
+    arch: str = "conv"  # 'dense' | 'conv'
+    batch_size: int = 5000
+    discount_factor: float = 0.80
+    replay_buffer_length: int = 15000
+    learning_rate: float = 1e-2
+    no_episodes: int = 30000
+    no_episodes_to_reach_epsilon: int = 1000
+    min_epsilon: float = 0.01
+    no_episodes_before_training: int = 700
+    no_episodes_before_updating_target: int = 100
+    no_episodes_to_fill_up_existing_model_replay_buffer: int = 0
+    use_double_dqn: bool = True
+    snapshot_game_every_n_episodes: int = 500
+
+    # --- TPU-native additions (net-new; reference is single-board CPU) ---
+    env_batch: int = 1024  # lockstep environments (global, across the mesh)
+    board_k: int = 4
+    p_four: float = 0.5  # spawn-a-4 probability (reference: uniform 0.5)
+    policy_compat: str = "masked"  # 'masked' | 'reference' (dqn_lib.py:25-26)
+    compat_zero_update: bool = False  # emulate dqn_lib.py:161-163 bug
+    seed: int = 0
+    chunk_iters: int = 256  # env steps per jitted scan chunk
+    episode_log_size: int = 8192  # on-device episode metrics ring capacity
+    # A*-seeded replay warm-start (reference: double_dqn_conv_sss.py:65)
+    use_astar_seed: bool = False
+    astar_games: int = 100
+    astar_max_expansions: int = 20000
+
+    def hyperparams_dict(self) -> dict:
+        """Reference-comparable hyperparams mapping (experiments.py:104-110
+        consumers expect these keys)."""
+        return {
+            "batch_size": self.batch_size,
+            "discount_factor": self.discount_factor,
+            "model": f"t48.{self.arch}",
+            "replay_buffer_length": self.replay_buffer_length,
+            "learning_rate": self.learning_rate,
+            "loss_fn": "mse(reduction=sum)",
+            "optimizer": f"adam(lr={self.learning_rate})",
+            "no_episodes": self.no_episodes,
+            "no_episodes_to_reach_epsilon": self.no_episodes_to_reach_epsilon,
+            "no_episodes_before_training": self.no_episodes_before_training,
+            "no_episodes_before_updating_target": self.no_episodes_before_updating_target,
+            "no_episodes_to_fill_up_existing_model_replay_buffer": (
+                self.no_episodes_to_fill_up_existing_model_replay_buffer
+            ),
+            "min_epsilon": self.min_epsilon,
+            "use_double_dqn": self.use_double_dqn,
+            "snapshot_game_every_n_episodes": self.snapshot_game_every_n_episodes,
+            # TPU-native additions
+            "env_batch": self.env_batch,
+            "policy_compat": self.policy_compat,
+            "seed": self.seed,
+        }
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "T48Config":
+        return T48Config(**json.loads(text))
+
+    def replace(self, **kw) -> "T48Config":
+        return dataclasses.replace(self, **kw)
+
+
+def double_dqn_conv(**overrides) -> T48Config:
+    """Mirror of configs/double_dqn_conv.py:33-47."""
+    return T48Config(name="double_dqn_conv", arch="conv").replace(**overrides)
+
+
+def double_dqn_dense(**overrides) -> T48Config:
+    """Mirror of configs/double_dqn_dense.py:17-31 (replay 100k, 50k eps)."""
+    return T48Config(
+        name="double_dqn_dense",
+        arch="dense",
+        replay_buffer_length=100_000,
+        no_episodes=50_000,
+    ).replace(**overrides)
+
+
+def double_dqn_conv_sss(**overrides) -> T48Config:
+    """Mirror of configs/double_dqn_sss.py (conv net, replay 100k, 50k eps)
+    with the A*-seeded replay warm-start (double_dqn_conv_sss.py:65)."""
+    return T48Config(
+        name="double_dqn_conv_sss",
+        arch="conv",
+        replay_buffer_length=100_000,
+        no_episodes=50_000,
+        use_astar_seed=True,
+    ).replace(**overrides)
+
+
+PRESETS = {
+    "double_dqn_conv": double_dqn_conv,
+    "double_dqn_dense": double_dqn_dense,
+    "double_dqn_conv_sss": double_dqn_conv_sss,
+    # short aliases
+    "conv": double_dqn_conv,
+    "dense": double_dqn_dense,
+    "conv_sss": double_dqn_conv_sss,
+}
+
+
+def get_preset(name: str, **overrides) -> T48Config:
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name](**overrides)

@@ -1,0 +1,169 @@
+"""Experiment persistence: job folders, metrics, snapshots, provenance.
+
+Mirrors the reference ``Experiment`` (/root/reference/src/experiments.py:
+40-160) artifact-for-artifact so downstream analysis tooling carries over:
+
+  experiments/<job>/
+    text/hyperparams.json        — hyperparameter dump (experiments.py:130)
+    text/runtime.txt             — HH:MM:SS wall clock (experiments.py:133-136)
+    text/config.json             — full T48Config (provenance; the TPU-native
+                                   analogue of the driver-source copy at
+                                   experiments.py:84-87)
+    binary/hyperparameters.p     — pickled hyperparams (experiments.py:138)
+    binary/runtime.p             — pickled seconds (experiments.py:141)
+    binary/episodes.p            — pickled list of per-episode metric dicts
+                                   (experiments.py:144; schema at :112-122)
+    binary/episodes.jsonl        — same episodes, written incrementally
+                                   (TPU-native addition: crash-safe, no
+                                   read-modify-write)
+    binary/checkpoint.npz        — full TrainState (replaces model.pt;
+                                   experiments.py:147-148)
+    binary/board_histories/episode_<n>.p — snapshotted game playbacks
+                                   (experiments.py:124-126)
+    binary/games_played.p        — evaluation game histories
+                                   (experiments.py:150-160)
+
+Auto-naming follows ``exp_{n}_{hash}`` (experiments.py:100-102). Episode
+metric dicts use the exact reference keys: max_tile, merge_score, number,
+reward, q_value, epsilon, number_moves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import List, Optional
+
+
+class Experiment:
+    """One training/evaluation job directory."""
+
+    def __init__(
+        self,
+        root_dir: str = "experiments",
+        folder_name: Optional[str] = None,
+        resumed: bool = False,
+        config=None,
+    ):
+        os.makedirs(root_dir, exist_ok=True)
+        if resumed:
+            assert folder_name, "resume requires a folder name"
+            self.folder = os.path.join(root_dir, folder_name)
+            assert os.path.isdir(self.folder), (
+                f"You wish to resume an experiment which does not exist: "
+                f"{folder_name}"
+            )
+            with open(self._p("binary/hyperparameters.p"), "rb") as f:
+                self.hyperparameters = pickle.load(f)
+            with open(self._p("binary/runtime.p"), "rb") as f:
+                prior_runtime = pickle.load(f)
+            with open(self._p("binary/episodes.p"), "rb") as f:
+                self.episodes = pickle.load(f)
+            # continue the wall clock from the recorded elapsed time
+            self.runtime = time.time() - prior_runtime
+        else:
+            self.folder = self._create_folder(root_dir, folder_name)
+            os.makedirs(self._p("text"), exist_ok=True)
+            os.makedirs(self._p("binary"), exist_ok=True)
+            os.makedirs(self._p("binary/board_histories"), exist_ok=True)
+            self.hyperparameters = {}
+            self.episodes: List[dict] = []
+            self.runtime = time.time()
+            if config is not None:
+                with open(self._p("text/config.json"), "w") as f:
+                    f.write(config.to_json())
+        self._jsonl = open(self._p("binary/episodes.jsonl"), "a")
+
+    # ------------------------------------------------------------------
+
+    def _p(self, *parts) -> str:
+        return os.path.join(self.folder, *parts)
+
+    @staticmethod
+    def _create_folder(root_dir: str, folder_name: Optional[str]) -> str:
+        if folder_name:
+            path = os.path.join(root_dir, folder_name)
+            try:
+                os.mkdir(path)
+                return path
+            except FileExistsError:
+                print(
+                    f"File {folder_name} already exists. "
+                    "Different folder name will be used."
+                )
+        # exp_{n}_{hash} auto-naming (experiments.py:100-102)
+        existing = [f for f in os.listdir(root_dir) if f.startswith("exp_")]
+        latest = 0
+        for name in existing:
+            try:
+                latest = max(latest, int(name.split("_")[1]))
+            except (IndexError, ValueError):
+                continue
+        tag = abs(hash(time.time_ns())) % (10**12)
+        path = os.path.join(root_dir, f"exp_{latest + 1}_{tag}")
+        os.mkdir(path)
+        return path
+
+    @property
+    def checkpoint_path(self) -> str:
+        return self._p("binary/checkpoint.npz")
+
+    # ------------------------------------------------------------------
+
+    def add_hyperparameter(self, mapping: dict) -> None:
+        """Merge a dict of hyperparameters (experiments.py:104-110)."""
+        assert isinstance(mapping, dict), (
+            "When adding hyperparameters, pass them as dict"
+        )
+        self.hyperparameters.update(mapping)
+
+    def add_episode(self, episode: dict) -> None:
+        """Record one completed episode's metrics (reference schema,
+        experiments.py:112-122) — also appended crash-safely to JSONL."""
+        self.episodes.append(episode)
+        self._jsonl.write(json.dumps(episode) + "\n")
+
+    def add_episodes(self, episodes: List[dict]) -> None:
+        for ep in episodes:
+            self.add_episode(ep)
+        self._jsonl.flush()
+
+    def snapshot_game(self, board_history, episode: int) -> None:
+        """Persist one game's playback: list of (state ndarray, action
+        char, reward) tuples (experiments.py:124-126; produced by
+        dqn_lib.py:199-200)."""
+        path = self._p("binary/board_histories", f"episode_{episode}.p")
+        with open(path, "wb") as f:
+            pickle.dump(board_history, f)
+
+    def save(self) -> None:
+        """Write all metadata artifacts (experiments.py:128-148)."""
+        with open(self._p("text/hyperparams.json"), "w") as f:
+            json.dump(self.hyperparameters, f, indent=4, default=str)
+        elapsed = time.time() - self.runtime
+        with open(self._p("text/runtime.txt"), "w") as f:
+            f.write(time.strftime("%H:%M:%S", time.gmtime(elapsed)))
+        with open(self._p("binary/hyperparameters.p"), "wb") as f:
+            pickle.dump(self.hyperparameters, f)
+        with open(self._p("binary/runtime.p"), "wb") as f:
+            pickle.dump(round(elapsed, 2), f)
+        with open(self._p("binary/episodes.p"), "wb") as f:
+            pickle.dump(self.episodes, f)
+        self._jsonl.flush()
+
+    def save_games_played(self, games_history: list) -> None:
+        """Append evaluation games to the growing games_played.p pickle
+        (read-modify-write, experiments.py:150-160)."""
+        path = self._p("binary/games_played.p")
+        total = []
+        if os.path.isfile(path):
+            with open(path, "rb") as f:
+                total = pickle.load(f)
+        total += games_history
+        with open(path, "wb") as f:
+            pickle.dump(total, f)
+
+    def close(self) -> None:
+        self._jsonl.close()

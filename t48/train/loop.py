@@ -1,0 +1,367 @@
+"""On-device batched actor-learner training loop.
+
+TPU-first redesign of the reference ``training_loop``
+(/root/reference/src/dqn_lib.py:167-244). The reference steps ONE board on
+the host, crossing the host↔device boundary per tensor; here B environments
+step in lockstep inside a single jitted ``lax.scan`` chunk — env, policy
+forward, replay writes, learner updates and target syncs all stay resident
+on device. The host only drains a small episode-metrics ring between
+chunks.
+
+Cadence semantics are preserved against *completed-episode counts*
+(SURVEY.md §7.5): with ``env_batch == 1`` the schedule is step-for-step the
+reference's —
+
+- ε decays linearly per episode (dqn_lib.py:184-188);
+- the learner fires once per completed episode after
+  ``no_episodes_before_training`` (dqn_lib.py:213-226);
+- the target net hard-syncs each time the episode count crosses a multiple
+  of ``no_episodes_before_updating_target`` (dqn_lib.py:227-228);
+- each episode logs {max_tile, merge_score, number, mean reward, mean Q,
+  ε, number_moves} (experiments.py:112-122, dqn_lib.py:204-207).
+
+With ``env_batch == B`` the same rules apply to the global episode counter;
+multiple episodes may complete per iteration, in which case the learner
+still fires once (the batched analogue of once-per-episode; documented
+divergence).
+
+Env 0 is the *snapshot env*: its per-step (board, action, reward, done)
+stream is emitted from the scan so the host can reconstruct full game
+histories for the reference's ``snapshot_game`` playback artifacts
+(experiments.py:124-126).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from t48.agent import learner as learner_lib
+from t48.agent import networks, policy as policy_lib
+from t48.configs.presets import T48Config
+from t48.env import engine
+from t48.replay import buffer as replay_lib
+from t48.train.schedules import epsilon_schedule
+
+
+@struct.dataclass
+class EpisodeLog:
+    """Fixed-size on-device ring of completed-episode metrics.
+
+    Arrays have ``size + 1`` slots; the last slot is a write sink for
+    non-completed envs so the scatter stays shape-static. ``ptr`` is the
+    monotonic count of episodes ever logged; live entries are
+    ``[(ptr - k) % size for k in 1..min(ptr, size)]``.
+    """
+
+    max_tile: jax.Array  # int32[E+1]
+    merge_score: jax.Array  # int32[E+1]
+    number: jax.Array  # int32[E+1]  episode index
+    reward: jax.Array  # f32[E+1]   per-step mean reward
+    q_value: jax.Array  # f32[E+1]  per-step mean max-Q
+    epsilon: jax.Array  # f32[E+1]
+    number_moves: jax.Array  # int32[E+1]
+    ptr: jax.Array  # int32 scalar, monotonic
+
+
+def _create_log(size: int) -> EpisodeLog:
+    z = functools.partial(jnp.zeros, (size + 1,))
+    return EpisodeLog(
+        max_tile=z(jnp.int32),
+        merge_score=z(jnp.int32),
+        number=z(jnp.int32),
+        reward=z(jnp.float32),
+        q_value=z(jnp.float32),
+        epsilon=z(jnp.float32),
+        number_moves=z(jnp.int32),
+        ptr=jnp.zeros((), jnp.int32),
+    )
+
+
+@struct.dataclass
+class TrainState:
+    """Everything the run needs, as one device-resident pytree.
+
+    This is also the checkpoint payload: params, target params, optimizer
+    state, env state, per-env episode accumulators, replay buffer, RNG key
+    and all counters — full-fidelity resume by construction (the
+    reference's resume restores only the model, experiments.py:51-65;
+    SURVEY.md §3.4 recommends exactly this superset).
+    """
+
+    params: object
+    target_params: object
+    opt_state: object
+    env: engine.EnvState
+    ep_reward_sum: jax.Array  # f32[B]
+    ep_q_sum: jax.Array  # f32[B]
+    replay: replay_lib.ReplayState
+    rng: jax.Array
+    episodes_done: jax.Array  # int32
+    env_steps: jax.Array  # int64-ish int32; total env steps taken
+    train_steps: jax.Array  # int32 learner updates applied
+    last_train_episodes: jax.Array  # int32
+    last_sync_episodes: jax.Array  # int32
+    last_loss: jax.Array  # f32
+    log: EpisodeLog
+
+
+class SnapshotStream(NamedTuple):
+    """Per-iteration record of the snapshot env (env 0)."""
+
+    board: jax.Array  # int8[T, K*K] pre-action exponents
+    action: jax.Array  # int8[T]
+    reward: jax.Array  # int32[T]
+    done: jax.Array  # bool[T]
+
+
+def _encoder_for(arch: str, k: int) -> Callable:
+    """Encoder from *flat int8 exponent* storage to network input."""
+    if arch == "dense":
+        return lambda flat: flat.astype(jnp.float32)
+    if arch == "conv":
+        return lambda flat: flat.astype(jnp.float32).reshape(
+            flat.shape[0], k, k, 1
+        )
+    raise ValueError(arch)
+
+
+def create_train_state(config: T48Config, key: Optional[jax.Array] = None) -> TrainState:
+    """Initialize params, target, optimizer, envs, replay and counters."""
+    if key is None:
+        key = jax.random.PRNGKey(config.seed)
+    k_params, k_env, k_run = jax.random.split(key, 3)
+    cells = config.board_k * config.board_k
+    net = networks.build_network(config.arch)
+    encode = _encoder_for(config.arch, config.board_k)
+    example = jnp.zeros((1, cells), jnp.int8)
+    params = net.init(k_params, encode(example))
+    target_params = jax.tree_util.tree_map(jnp.copy, params)
+    optimizer = optax.adam(config.learning_rate)
+    env = engine.init(k_env, config.env_batch, config.board_k, config.p_four)
+    return TrainState(
+        params=params,
+        target_params=target_params,
+        opt_state=optimizer.init(params),
+        env=env,
+        ep_reward_sum=jnp.zeros((config.env_batch,), jnp.float32),
+        ep_q_sum=jnp.zeros((config.env_batch,), jnp.float32),
+        replay=replay_lib.create(config.replay_buffer_length, cells),
+        rng=k_run,
+        episodes_done=jnp.zeros((), jnp.int32),
+        env_steps=jnp.zeros((), jnp.int32),
+        train_steps=jnp.zeros((), jnp.int32),
+        last_train_episodes=jnp.zeros((), jnp.int32),
+        last_sync_episodes=jnp.zeros((), jnp.int32),
+        last_loss=jnp.zeros((), jnp.float32),
+        log=_create_log(config.episode_log_size),
+    )
+
+
+def make_train_iteration(config: T48Config) -> Callable:
+    """Build ``iteration(state) -> (state, snapshot_record)``.
+
+    One iteration = one lockstep env step for all B envs + episode
+    accounting + (conditionally) one learner update + target sync.
+    """
+    net = networks.build_network(config.arch)
+    encode = _encoder_for(config.arch, config.board_k)
+    optimizer = optax.adam(config.learning_rate)
+    train_step = learner_lib.make_train_step(
+        net.apply,
+        encode,
+        optimizer,
+        config.discount_factor,
+        config.use_double_dqn,
+        config.compat_zero_update,
+    )
+    batch = config.env_batch
+    cells = config.board_k * config.board_k
+    log_size = config.episode_log_size
+
+    def iteration(state: TrainState):
+        rng, k_policy, k_step, k_reset, k_sample = jax.random.split(state.rng, 5)
+
+        # ---- ε for the episodes currently in flight (dqn_lib.py:184-188)
+        eps = epsilon_schedule(
+            state.episodes_done,
+            config.no_episodes_to_reach_epsilon,
+            config.min_epsilon,
+            config.no_episodes_to_fill_up_existing_model_replay_buffer,
+        )
+
+        # ---- policy: one batched forward over all envs
+        boards = state.env.boards
+        flat = boards.reshape(batch, cells).astype(jnp.int8)
+        moved, deltas, legal = engine.peek_all(boards)
+        done_pre = ~legal.any(-1)  # availability check before acting
+        q_values = net.apply(state.params, encode(flat))
+        actions, max_q = policy_lib.epsilon_greedy(
+            k_policy, q_values, legal, eps, config.policy_compat
+        )
+
+        # ---- env transition (one peek_action per env, dqn_lib.py:91-107)
+        new_env, reward = engine.step_from_peek(
+            state.env, actions, k_step, moved, deltas, legal, config.p_four
+        )
+        next_flat = new_env.boards.reshape(batch, cells).astype(jnp.int8)
+
+        # ---- replay append (encode-at-insert)
+        transition = replay_lib.Transition(
+            state=flat,
+            action=actions,
+            reward=reward.astype(jnp.float32),
+            next_state=next_flat,
+            done=done_pre,
+        )
+        replay = replay_lib.add_batch(state.replay, transition)
+
+        # ---- per-episode accumulators (means logged at episode end)
+        ep_reward_sum = state.ep_reward_sum + reward.astype(jnp.float32)
+        ep_q_sum = state.ep_q_sum + max_q
+
+        # ---- episode completion accounting
+        done = done_pre
+        n_done = done.sum().astype(jnp.int32)
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1  # order within batch
+        slot = jnp.where(done, (state.log.ptr + rank) % log_size, log_size)
+        steps_f = jnp.maximum(new_env.step_counts.astype(jnp.float32), 1.0)
+        log = state.log
+        log = log.replace(
+            max_tile=log.max_tile.at[slot].set(engine.max_tile(new_env.boards)),
+            merge_score=log.merge_score.at[slot].set(new_env.merge_scores),
+            number=log.number.at[slot].set(state.episodes_done + rank),
+            reward=log.reward.at[slot].set(ep_reward_sum / steps_f),
+            q_value=log.q_value.at[slot].set(ep_q_sum / steps_f),
+            epsilon=log.epsilon.at[slot].set(jnp.full((batch,), eps)),
+            number_moves=log.number_moves.at[slot].set(new_env.step_counts),
+            ptr=log.ptr + n_done,
+        )
+        episodes_done = state.episodes_done + n_done
+
+        # ---- reset finished envs, zero their accumulators
+        env = engine.reset_where(new_env, done, k_reset, config.p_four)
+        ep_reward_sum = jnp.where(done, 0.0, ep_reward_sum)
+        ep_q_sum = jnp.where(done, 0.0, ep_q_sum)
+
+        # ---- learner: once per completed episode past the warmup gate
+        should_train = (
+            (episodes_done > config.no_episodes_before_training)
+            & (episodes_done > state.last_train_episodes)
+            & (replay.fill > 0)
+        )
+
+        def do_train(args):
+            params, target_params, opt_state, _ = args
+            sampled = replay_lib.sample(replay, k_sample, config.batch_size)
+            out = train_step(params, target_params, opt_state, sampled)
+            return out.params, target_params, out.opt_state, out.loss
+
+        params, target_params, opt_state, loss = jax.lax.cond(
+            should_train,
+            do_train,
+            lambda args: args,
+            (state.params, state.target_params, state.opt_state, state.last_loss),
+        )
+        train_steps = state.train_steps + should_train.astype(jnp.int32)
+        last_train_episodes = jnp.where(
+            should_train, episodes_done, state.last_train_episodes
+        )
+
+        # ---- hard target sync on crossing each sync-period multiple
+        sync_every = config.no_episodes_before_updating_target
+        should_sync = (episodes_done // sync_every) > (
+            state.last_sync_episodes // sync_every
+        )
+        target_params = jax.lax.cond(
+            should_sync,
+            lambda _: params,
+            lambda _: target_params,
+            None,
+        )
+        last_sync_episodes = jnp.where(
+            should_sync, episodes_done, state.last_sync_episodes
+        )
+
+        new_state = TrainState(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            env=env,
+            ep_reward_sum=ep_reward_sum,
+            ep_q_sum=ep_q_sum,
+            replay=replay,
+            rng=rng,
+            episodes_done=episodes_done,
+            env_steps=state.env_steps + batch,
+            train_steps=train_steps,
+            last_train_episodes=last_train_episodes,
+            last_sync_episodes=last_sync_episodes,
+            last_loss=loss,
+            log=log,
+        )
+        snapshot = SnapshotStream(
+            board=flat[0],
+            action=actions[0].astype(jnp.int8),
+            reward=reward[0],
+            done=done[0],
+        )
+        return new_state, snapshot
+
+    return iteration
+
+
+def make_train_chunk(config: T48Config) -> Callable:
+    """Jitted ``chunk(state) -> (state, SnapshotStream[T])`` running
+    ``config.chunk_iters`` iterations under ``lax.scan``."""
+    iteration = make_train_iteration(config)
+
+    @jax.jit
+    def chunk(state: TrainState):
+        return jax.lax.scan(
+            lambda s, _: iteration(s), state, None, length=config.chunk_iters
+        )
+
+    return chunk
+
+
+def drain_episode_log(prev_ptr: int, log: EpisodeLog, log_size: int):
+    """Host-side: extract episode dicts written since ``prev_ptr``.
+
+    Returns (episodes list in completion order, new_ptr). If more than
+    ``log_size`` episodes completed in one chunk the oldest overflow
+    entries are dropped (sized so this never happens at default configs).
+    """
+    new_ptr = int(log.ptr)
+    count = new_ptr - prev_ptr
+    dropped = max(0, count - log_size)
+    count = min(count, log_size)
+    start = new_ptr - count
+    idx = [(start + i) % log_size for i in range(count)]
+    episodes = []
+    if count:
+        mt = jax.device_get(log.max_tile)[idx]
+        ms = jax.device_get(log.merge_score)[idx]
+        num = jax.device_get(log.number)[idx]
+        rw = jax.device_get(log.reward)[idx]
+        qv = jax.device_get(log.q_value)[idx]
+        epn = jax.device_get(log.epsilon)[idx]
+        nm = jax.device_get(log.number_moves)[idx]
+        for i in range(count):
+            episodes.append(
+                {
+                    "max_tile": int(mt[i]),
+                    "merge_score": int(ms[i]),
+                    "number": int(num[i]),
+                    "reward": float(rw[i]),
+                    "q_value": float(qv[i]),
+                    "epsilon": float(epn[i]),
+                    "number_moves": int(nm[i]),
+                }
+            )
+    return episodes, new_ptr, dropped

@@ -1,0 +1,172 @@
+"""Host-side training driver: chunks, metrics drain, snapshots, saves.
+
+The TPU-native equivalent of the reference's per-episode host loop
+(/root/reference/src/dqn_lib.py:167-244): the device runs
+``config.chunk_iters`` lockstep iterations per call (t48/train/loop.py);
+between chunks the host drains the episode-metrics ring into the
+``Experiment``, reassembles the snapshot env's game histories, prints the
+reference's per-10-episodes console line (dqn_lib.py:210-212), autosaves
+every 1000 episodes (dqn_lib.py:229-231) and saves on interrupt/exception
+(dqn_lib.py:235-244).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from t48.configs.presets import T48Config
+from t48.exp.checkpoint import restore_checkpoint, save_checkpoint
+from t48.exp.experiment import Experiment
+from t48.train import loop as loop_lib
+
+_ACTION_CHARS = ["u", "d", "l", "r"]
+
+
+class SnapshotAssembler:
+    """Reassembles env 0's per-step stream into complete game histories.
+
+    History entries match the reference's board_history tuples:
+    ``(state ndarray of raw tile values, action char, reward)``
+    (dqn_lib.py:199-200). With ``env_batch == 1`` the snapshot cadence is
+    exactly the reference's every-N-episodes; with larger batches env 0
+    completes ~1/B of all episodes, so games are snapshotted every
+    ``max(1, N // env_batch)`` env-0 games (documented approximation).
+    """
+
+    def __init__(self, experiment: Experiment, cadence: int, env_batch: int, k: int):
+        self.experiment = experiment
+        self.snap_every_games = max(1, cadence // max(env_batch, 1))
+        self.k = k
+        self.env_batch = env_batch
+        self.current: List[tuple] = []
+        self.games_completed = 0
+
+    def feed(self, snapshot: loop_lib.SnapshotStream) -> None:
+        boards = np.asarray(jax.device_get(snapshot.board))
+        actions = np.asarray(jax.device_get(snapshot.action))
+        rewards = np.asarray(jax.device_get(snapshot.reward))
+        dones = np.asarray(jax.device_get(snapshot.done))
+        for t in range(boards.shape[0]):
+            exps = boards[t].astype(np.int64).reshape(self.k, self.k)
+            values = np.where(exps == 0, 0, 2**exps)
+            self.current.append(
+                (values, _ACTION_CHARS[int(actions[t]) % 4], int(rewards[t]))
+            )
+            if dones[t]:
+                if self.games_completed % self.snap_every_games == 0:
+                    # name by the approximate global episode ordinal so the
+                    # artifact layout matches binary/board_histories/episode_N.p
+                    number = self.games_completed * self.env_batch
+                    self.experiment.snapshot_game(self.current, number)
+                self.games_completed += 1
+                self.current = []
+
+
+def seed_replay_from_search(state, config: T48Config):
+    """A*-seeded replay warm-start (reference: double_dqn_conv_sss.py:65 →
+    state_space_search.py:104-131), with the reference's state/next_state
+    and reward-sign bugs fixed (SURVEY.md §7.8)."""
+    from t48.search.seeding import generate_replay_transitions
+
+    transitions = generate_replay_transitions(
+        games=config.astar_games,
+        max_expansions=config.astar_max_expansions,
+        k=config.board_k,
+        seed=config.seed,
+    )
+    from t48.replay import buffer as replay_lib
+
+    replay = replay_lib.add_batch(state.replay, transitions)
+    return state.replace(replay=replay)
+
+
+def train(
+    config: T48Config,
+    root_dir: str = "experiments",
+    job_name: Optional[str] = None,
+    resume: bool = False,
+    max_episodes: Optional[int] = None,
+    verbose: bool = True,
+):
+    """Run (or resume) a full training job. Returns (state, experiment)."""
+    experiment = Experiment(
+        root_dir=root_dir, folder_name=job_name, resumed=resume, config=config
+    )
+    experiment.add_hyperparameter(config.hyperparams_dict())
+
+    state = loop_lib.create_train_state(config)
+    if resume:
+        state = restore_checkpoint(experiment.checkpoint_path, state)
+    elif config.use_astar_seed:
+        if verbose:
+            print(f"Seeding replay buffer from {config.astar_games} search games...")
+        state = seed_replay_from_search(state, config)
+        if verbose:
+            print(f"Replay seeded with {int(state.replay.fill)} transitions")
+
+    chunk = loop_lib.make_train_chunk(config)
+    assembler = SnapshotAssembler(
+        experiment,
+        config.snapshot_game_every_n_episodes,
+        config.env_batch,
+        config.board_k,
+    )
+
+    log_ptr = int(state.log.ptr)
+    target_episodes = max_episodes if max_episodes is not None else config.no_episodes
+    last_save = int(state.episodes_done)
+    last_print = int(state.episodes_done)
+    t_start = time.time()
+    steps_start = int(state.env_steps)
+
+    def _save_all():
+        experiment.save()
+        save_checkpoint(experiment.checkpoint_path, state)
+
+    try:
+        while int(state.episodes_done) < target_episodes:
+            state, snapshot = chunk(state)
+            episodes, log_ptr, dropped = loop_lib.drain_episode_log(
+                log_ptr, state.log, config.episode_log_size
+            )
+            if dropped and verbose:
+                print(f"warning: episode log overflow, dropped {dropped}")
+            experiment.add_episodes(episodes)
+            assembler.feed(snapshot)
+
+            done_now = int(state.episodes_done)
+            if verbose and episodes and done_now - last_print >= 10:
+                ep = episodes[-1]
+                # reference console line (dqn_lib.py:210-212)
+                print(
+                    f"Episode: {ep['number']}: {ep['merge_score']}, "
+                    f"{ep['max_tile']}, {ep['number_moves']}"
+                )
+                last_print = done_now
+            if done_now - last_save >= 1000:
+                _save_all()
+                last_save = done_now
+                if verbose:
+                    elapsed = time.time() - t_start
+                    steps = int(state.env_steps) - steps_start
+                    print(
+                        f"Saved game  [{done_now} episodes, "
+                        f"{steps / max(elapsed, 1e-9):,.0f} env-steps/s]"
+                    )
+        _save_all()
+    except KeyboardInterrupt as e:
+        print(e)
+        print(
+            f"\nKeyboard interrupt caught. Saving current experiment in "
+            f"{experiment.folder}"
+        )
+        _save_all()
+    except Exception:
+        _save_all()
+        print(f"\nSaving current experiment in {experiment.folder}\n")
+        raise
+    return state, experiment

@@ -2,17 +2,23 @@
 
 Multi-chip sharding logic is tested the TPU-native way without a TPU pod:
 ``--xla_force_host_platform_device_count=8`` gives JAX eight CPU devices to
-build a real ``jax.sharding.Mesh`` over (SURVEY.md §4). Must run before the
-first ``import jax`` anywhere in the test process.
+build a real ``jax.sharding.Mesh`` over (SURVEY.md §4).
+
+Note: the container's ``sitecustomize`` imports jax at interpreter startup
+with ``JAX_PLATFORMS=axon`` (the remote-TPU tunnel), so setting env vars
+here is too late for the config default — we must update the live jax
+config as well, before any backend is initialized.
 """
 
 import os
 
-# Hard override: the session environment pins JAX_PLATFORMS to the real
-# TPU tunnel; unit tests must run on local CPU devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

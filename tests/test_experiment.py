@@ -1,0 +1,201 @@
+"""Experiment persistence, checkpoint/resume, trainer E2E, analysis."""
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from t48.analysis.report import (
+    learning_curve_summary,
+    load_episodes,
+    max_tile_frequency,
+    render_report,
+)
+from t48.configs import get_preset
+from t48.exp.checkpoint import restore_checkpoint, save_checkpoint
+from t48.exp.experiment import Experiment
+from t48.train import loop as loop_lib
+from t48.train.trainer import train
+
+
+def tiny_config(**kw):
+    base = dict(
+        env_batch=8,
+        batch_size=32,
+        replay_buffer_length=512,
+        no_episodes=40,
+        no_episodes_to_reach_epsilon=20,
+        no_episodes_before_training=3,
+        no_episodes_before_updating_target=5,
+        snapshot_game_every_n_episodes=8,
+        chunk_iters=32,
+        episode_log_size=256,
+        seed=0,
+    )
+    base.update(kw)
+    return get_preset("dense", **base)
+
+
+class TestExperimentFolder:
+    def test_layout_matches_reference(self, tmp_path):
+        """Job dir mirrors experiments.py:67-73 text/ + binary/ layout."""
+        exp = Experiment(root_dir=str(tmp_path), folder_name="myjob")
+        assert os.path.isdir(exp._p("text"))
+        assert os.path.isdir(exp._p("binary"))
+        assert os.path.isdir(exp._p("binary/board_histories"))
+        exp.add_hyperparameter({"learning_rate": 0.01})
+        exp.add_episode(
+            {"max_tile": 64, "merge_score": 600, "number": 0, "reward": 5.0,
+             "q_value": 1.0, "epsilon": 0.9, "number_moves": 80}
+        )
+        exp.save()
+        assert os.path.isfile(exp._p("text/hyperparams.json"))
+        assert os.path.isfile(exp._p("text/runtime.txt"))
+        assert os.path.isfile(exp._p("binary/hyperparameters.p"))
+        assert os.path.isfile(exp._p("binary/runtime.p"))
+        assert os.path.isfile(exp._p("binary/episodes.p"))
+        with open(exp._p("binary/episodes.p"), "rb") as f:
+            episodes = pickle.load(f)
+        assert episodes[0]["max_tile"] == 64
+
+    def test_auto_naming(self, tmp_path):
+        e1 = Experiment(root_dir=str(tmp_path))
+        e2 = Experiment(root_dir=str(tmp_path))
+        n1 = os.path.basename(e1.folder)
+        n2 = os.path.basename(e2.folder)
+        assert n1.startswith("exp_1_")
+        assert n2.startswith("exp_2_")
+
+    def test_name_collision_falls_back(self, tmp_path):
+        Experiment(root_dir=str(tmp_path), folder_name="dup")
+        e2 = Experiment(root_dir=str(tmp_path), folder_name="dup")
+        assert os.path.basename(e2.folder).startswith("exp_")
+
+    def test_resume_restores_metadata(self, tmp_path):
+        exp = Experiment(root_dir=str(tmp_path), folder_name="resume_me")
+        exp.add_hyperparameter({"gamma": 0.8})
+        exp.add_episode(
+            {"max_tile": 32, "merge_score": 300, "number": 0, "reward": 3.0,
+             "q_value": 0.5, "epsilon": 1.0, "number_moves": 50}
+        )
+        exp.save()
+        exp.close()
+        resumed = Experiment(
+            root_dir=str(tmp_path), folder_name="resume_me", resumed=True
+        )
+        assert resumed.hyperparameters["gamma"] == 0.8
+        assert len(resumed.episodes) == 1
+
+    def test_save_games_played_appends(self, tmp_path):
+        exp = Experiment(root_dir=str(tmp_path), folder_name="games")
+        exp.save_games_played([["g1"], ["g2"]])
+        exp.save_games_played([["g3"]])
+        with open(exp._p("binary/games_played.p"), "rb") as f:
+            games = pickle.load(f)
+        assert len(games) == 3
+
+    def test_snapshot_game(self, tmp_path):
+        exp = Experiment(root_dir=str(tmp_path), folder_name="snap")
+        history = [(np.zeros((4, 4)), "u", 4)]
+        exp.snapshot_game(history, 500)
+        path = exp._p("binary/board_histories/episode_500.p")
+        with open(path, "rb") as f:
+            loaded = pickle.load(f)
+        assert loaded[0][1] == "u"
+
+
+class TestCheckpoint:
+    def test_roundtrip_full_train_state(self, tmp_path):
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, _ = chunk(state)
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, state)
+        template = loop_lib.create_train_state(cfg)
+        restored = restore_checkpoint(path, template)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_continues_identically(self, tmp_path):
+        """checkpoint → restore → chunk == chunk straight through
+        (full-fidelity resume: replay, RNG and counters included)."""
+        cfg = tiny_config()
+        chunk = loop_lib.make_train_chunk(cfg)
+        state = loop_lib.create_train_state(cfg)
+        state, _ = chunk(state)
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, state)
+        cont, _ = chunk(state)
+        restored = restore_checkpoint(path, loop_lib.create_train_state(cfg))
+        cont2, _ = chunk(restored)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(cont), jax.tree_util.tree_leaves(cont2)
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, state)
+        other = loop_lib.create_train_state(tiny_config(env_batch=16))
+        with pytest.raises(ValueError):
+            restore_checkpoint(path, other)
+
+
+class TestTrainerEndToEnd:
+    def test_full_tiny_run(self, tmp_path):
+        cfg = tiny_config()
+        state, exp = train(
+            cfg, root_dir=str(tmp_path), job_name="e2e", verbose=False
+        )
+        assert int(state.episodes_done) >= cfg.no_episodes
+        episodes = load_episodes(exp.folder)
+        assert len(episodes) >= cfg.no_episodes
+        # artifacts exist
+        assert os.path.isfile(os.path.join(exp.folder, "text/hyperparams.json"))
+        assert os.path.isfile(exp.checkpoint_path)
+        assert os.path.isfile(os.path.join(exp.folder, "text/config.json"))
+        snaps = os.listdir(os.path.join(exp.folder, "binary/board_histories"))
+        assert snaps  # snapshot env produced at least one playback
+        with open(os.path.join(exp.folder, "text/hyperparams.json")) as f:
+            hp = json.load(f)
+        assert hp["batch_size"] == cfg.batch_size
+
+    def test_resume_from_checkpoint(self, tmp_path):
+        cfg = tiny_config(no_episodes=30)
+        state1, exp1 = train(
+            cfg, root_dir=str(tmp_path), job_name="resumable", verbose=False
+        )
+        exp1.close()
+        cfg2 = cfg.replace(no_episodes=60)
+        state2, exp2 = train(
+            cfg2,
+            root_dir=str(tmp_path),
+            job_name="resumable",
+            resume=True,
+            verbose=False,
+        )
+        assert int(state2.episodes_done) >= 60
+        assert int(state2.episodes_done) > int(state1.episodes_done)
+
+
+class TestAnalysis:
+    def test_report(self, tmp_path):
+        cfg = tiny_config()
+        state, exp = train(
+            cfg, root_dir=str(tmp_path), job_name="report", verbose=False
+        )
+        report = render_report(exp.folder)
+        assert report["learning_curve"]["total_episodes"] >= cfg.no_episodes
+        freq = report["max_tile_frequency"]
+        assert sum(v["count"] for v in freq.values()) >= cfg.no_episodes
+        total_pct = sum(v["percent"] for v in freq.values())
+        assert total_pct == pytest.approx(100.0, abs=1.0)
+        assert os.path.isfile(os.path.join(exp.folder, "analysis.json"))

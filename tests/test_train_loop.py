@@ -1,0 +1,152 @@
+"""Training-loop semantics: cadences, episode accounting, replay flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t48.configs import get_preset
+from t48.train import loop as loop_lib
+from t48.train.schedules import epsilon_schedule
+
+
+def tiny_config(**kw):
+    base = dict(
+        env_batch=8,
+        batch_size=32,
+        replay_buffer_length=512,
+        no_episodes=100,
+        no_episodes_to_reach_epsilon=50,
+        no_episodes_before_training=3,
+        no_episodes_before_updating_target=5,
+        chunk_iters=32,
+        episode_log_size=256,
+        seed=0,
+    )
+    base.update(kw)
+    return get_preset("dense", **base)
+
+
+class TestSchedules:
+    def test_linear_decay(self):
+        # ε = max((E-ep)/E, min) (dqn_lib.py:184-185)
+        eps = epsilon_schedule(jnp.int32(0), 1000, 0.01)
+        assert float(eps) == pytest.approx(1.0)
+        eps = epsilon_schedule(jnp.int32(500), 1000, 0.01)
+        assert float(eps) == pytest.approx(0.5)
+        eps = epsilon_schedule(jnp.int32(5000), 1000, 0.01)
+        assert float(eps) == pytest.approx(0.01)
+
+    def test_fill_up_forces_zero(self):
+        # dqn_lib.py:187-188
+        eps = epsilon_schedule(jnp.int32(5), 1000, 0.01, fill_up_episodes=10)
+        assert float(eps) == 0.0
+        eps = epsilon_schedule(jnp.int32(15), 1000, 0.01, fill_up_episodes=10)
+        assert float(eps) == pytest.approx((1000 - 15) / 1000)
+
+
+class TestTrainChunk:
+    def test_chunk_progresses_and_trains(self):
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        for _ in range(4):
+            state, snap = chunk(state)
+        assert int(state.env_steps) == 4 * cfg.chunk_iters * cfg.env_batch
+        assert int(state.episodes_done) > 0
+        assert int(state.train_steps) > 0
+        assert int(state.replay.fill) > 0
+        assert float(state.last_loss) > 0
+
+    def test_episode_log_schema_and_monotonic_numbers(self):
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, _ = chunk(state)
+        state, _ = chunk(state)
+        episodes, ptr, dropped = loop_lib.drain_episode_log(
+            0, state.log, cfg.episode_log_size
+        )
+        assert dropped == 0
+        assert len(episodes) == int(state.episodes_done)
+        keys = {
+            "max_tile", "merge_score", "number", "reward",
+            "q_value", "epsilon", "number_moves",
+        }
+        numbers = [e["number"] for e in episodes]
+        assert sorted(numbers) == list(range(len(episodes)))
+        for ep in episodes:
+            assert set(ep) == keys
+            assert ep["max_tile"] >= 4  # merged at least one pair or spawned 4
+            assert ep["merge_score"] >= 0
+            assert ep["number_moves"] > 0
+            assert 0.0 <= ep["epsilon"] <= 1.0
+
+    def test_no_training_before_gate(self):
+        cfg = tiny_config(no_episodes_before_training=10_000)
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, _ = chunk(state)
+        assert int(state.train_steps) == 0
+
+    def test_single_env_reference_cadence(self):
+        """env_batch=1: learner fires exactly once per completed episode
+        past the gate; target syncs on each N-multiple crossing."""
+        cfg = tiny_config(
+            env_batch=1,
+            no_episodes_before_training=2,
+            no_episodes_before_updating_target=3,
+            chunk_iters=64,
+        )
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        for _ in range(20):
+            state, _ = chunk(state)
+        done = int(state.episodes_done)
+        trained = int(state.train_steps)
+        # once per episode after the first `gate` episodes
+        assert trained == max(0, done - cfg.no_episodes_before_training), (
+            done, trained
+        )
+
+    def test_replay_contents_are_valid_transitions(self):
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, _ = chunk(state)
+        fill = int(state.replay.fill)
+        s = np.asarray(state.replay.state[:fill])
+        a = np.asarray(state.replay.action[:fill])
+        r = np.asarray(state.replay.reward[:fill])
+        assert ((a >= 0) & (a < 4)).all()
+        assert (s >= 0).all() and (s <= 16).all()
+        assert (r >= 0).all()  # merge-score deltas are non-negative
+        # a no-op/illegal step stores state == next_state
+        ns = np.asarray(state.replay.next_state[:fill])
+        changed = (s != ns).any(axis=1)
+        moved_rewards = r[changed]
+        assert (moved_rewards >= 0).all()
+
+    def test_snapshot_stream_shapes(self):
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, snap = chunk(state)
+        assert snap.board.shape == (cfg.chunk_iters, 16)
+        assert snap.action.shape == (cfg.chunk_iters,)
+        assert snap.reward.shape == (cfg.chunk_iters,)
+        assert snap.done.shape == (cfg.chunk_iters,)
+
+    def test_rng_determinism(self):
+        cfg = tiny_config()
+        s1 = loop_lib.create_train_state(cfg)
+        s2 = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        s1, _ = chunk(s1)
+        s2, _ = chunk(s2)
+        assert np.array_equal(np.asarray(s1.env.boards), np.asarray(s2.env.boards))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
