@@ -1,0 +1,121 @@
+"""Multi-chip sharding on a virtual 8-device CPU mesh (SURVEY.md §4d).
+
+Asserts (a) the DP layout places env/replay on 'data' and replicates
+params, (b) the unchanged jitted train chunk runs SPMD over the mesh,
+and (c) sharded training is numerically equivalent to single-device
+training (the psum-gradient-equivalence check)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from t48.configs import get_preset
+from t48.distrib import distribute_train_state, make_mesh, train_state_shardings
+from t48.train import loop as loop_lib
+
+
+def tiny_config(**kw):
+    base = dict(
+        env_batch=16,  # divisible by 8 devices
+        batch_size=32,
+        replay_buffer_length=512,
+        no_episodes=100,
+        no_episodes_before_training=2,
+        no_episodes_before_updating_target=5,
+        chunk_iters=16,
+        episode_log_size=128,
+        seed=0,
+    )
+    base.update(kw)
+    return get_preset("dense", **base)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh()
+
+
+class TestMesh:
+    def test_mesh_axes(self, mesh):
+        assert mesh.axis_names == ("data", "model")
+        assert mesh.shape["data"] == 8
+        assert mesh.shape["model"] == 1
+
+    def test_sharding_assignment(self, mesh):
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        sh = train_state_shardings(state, mesh, cfg)
+        assert sh.env.boards.spec == P("data")
+        assert sh.replay.state.spec == P("data")
+        assert sh.ep_reward_sum.spec == P("data")
+        # params replicated
+        for leaf in jax.tree_util.tree_leaves(sh.params):
+            assert leaf.spec == P()
+        # scalars replicated
+        assert sh.episodes_done.spec == P()
+
+    def test_distributed_state_is_sharded(self, mesh):
+        cfg = tiny_config()
+        state = distribute_train_state(
+            loop_lib.create_train_state(cfg), mesh, cfg
+        )
+        boards_sharding = state.env.boards.sharding
+        assert boards_sharding.spec == P("data")
+        assert len(boards_sharding.device_set) == 8
+
+
+class TestShardedTraining:
+    def test_chunk_runs_spmd(self, mesh):
+        cfg = tiny_config()
+        state = distribute_train_state(
+            loop_lib.create_train_state(cfg), mesh, cfg
+        )
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, snap = chunk(state)
+        jax.block_until_ready(state.params)
+        assert int(state.env_steps) == cfg.chunk_iters * cfg.env_batch
+        assert int(state.episodes_done) >= 0
+
+    def test_sharded_equals_single_device(self, mesh):
+        """DP training == single-device training: identical env dynamics
+        (integer state) and near-identical params (float psum order)."""
+        cfg = tiny_config()
+        chunk = loop_lib.make_train_chunk(cfg)
+
+        s_single = loop_lib.create_train_state(cfg)
+        s_shard = distribute_train_state(
+            loop_lib.create_train_state(cfg), mesh, cfg
+        )
+        for _ in range(4):
+            s_single, _ = chunk(s_single)
+            s_shard, _ = chunk(s_shard)
+        # integer state: exact
+        assert int(s_single.episodes_done) == int(s_shard.episodes_done)
+        assert int(s_single.train_steps) == int(s_shard.train_steps)
+        assert np.array_equal(
+            np.asarray(s_single.env.boards), np.asarray(jax.device_get(s_shard.env.boards))
+        )
+        assert np.array_equal(
+            np.asarray(s_single.replay.state),
+            np.asarray(jax.device_get(s_shard.replay.state)),
+        )
+        # float params: allclose (reduction-order tolerance)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_single.params),
+            jax.tree_util.tree_leaves(s_shard.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(jax.device_get(b)), rtol=1e-4, atol=1e-5
+            )
+
+    def test_scales_to_larger_batch(self, mesh):
+        cfg = tiny_config(env_batch=64)
+        state = distribute_train_state(
+            loop_lib.create_train_state(cfg), mesh, cfg
+        )
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, _ = chunk(state)
+        assert int(state.env_steps) == cfg.chunk_iters * 64
