@@ -34,6 +34,23 @@ from t48.search.astar import best_first_search
 _MOVE_TO_INT = {"up": 0, "down": 1, "left": 2, "right": 3}
 
 
+def _make_board(k: int, game_seed: int, backend: str):
+    """Root board for one search game.
+
+    backend='native' uses the C++ bitboard engine (t48/native) — an order
+    of magnitude faster node expansion for the pointer-chasing search;
+    'golden' is the reference-exact Python model; 'auto' prefers native.
+    """
+    if backend in ("auto", "native") and k == 4:
+        from t48 import native
+
+        if native.available():
+            return native.FastBoard(seed=game_seed or 1)
+        if backend == "native":
+            raise RuntimeError(f"native engine unavailable: {native.load_error()}")
+    return GoldenBoard(k=k)
+
+
 def generate_replay_transitions(
     games: int = 100,
     max_expansions: int = 20_000,
@@ -41,6 +58,7 @@ def generate_replay_transitions(
     seed: int = 0,
     goal_tile: int | None = None,
     verbose: bool = False,
+    backend: str = "auto",
 ) -> Transition:
     """Run ``games`` searches and collect their paths as one Transition
     batch (encoded int8 exponent boards, ready for the replay buffer)."""
@@ -49,7 +67,7 @@ def generate_replay_transitions(
 
     states, actions, rewards, next_states, dones = [], [], [], [], []
     for g in range(games):
-        board = GoldenBoard(k=k)
+        board = _make_board(k, seed * 7919 + g + 1, backend)
         result = best_first_search(
             board, goal_tile=goal_tile, max_expansions=max_expansions
         )
