@@ -13,7 +13,7 @@ import sys
 def main() -> int:
     from t48.analysis.bench import run_bench
 
-    result = run_bench(env_batch=8192, iters=2048)
+    result = run_bench(env_batch=32768, iters=1024)
     print(
         json.dumps(
             {

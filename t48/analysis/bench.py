@@ -20,14 +20,15 @@ from t48.env import engine
 def make_rollout(env_batch: int, iters: int, k: int = 4):
     """Jitted ``rollout(state, key) -> (state, total_steps)``."""
 
-    def body(carry, _):
-        env, key = carry
-        key, k_pol, k_step, k_reset = jax.random.split(key, 4)
-        moved, deltas, legal = engine.peek_all(env.boards)
-        done = ~legal.any(-1)
+    def random_legal(k_pol, boards, legal):
         scores = jax.random.uniform(k_pol, legal.shape)
         actions = jnp.argmax(jnp.where(legal, scores, -1.0), -1).astype(jnp.int32)
-        env, _ = engine.step_from_peek(env, actions, k_step, moved, deltas, legal)
+        return actions, None
+
+    def body(carry, _):
+        env, key = carry
+        key, k_step, k_reset = jax.random.split(key, 3)
+        env, _, _, done, _, _ = engine.env_step(env, random_legal, k_step)
         env = engine.reset_where(env, done, k_reset)
         return (env, key), None
 
@@ -39,19 +40,29 @@ def make_rollout(env_batch: int, iters: int, k: int = 4):
     return rollout
 
 
-def run_bench(env_batch: int = 8192, iters: int = 2048, warmup: int = 1) -> dict:
-    """Measure steady-state env-steps/s. Returns the bench record."""
+def run_bench(
+    env_batch: int = 32768, iters: int = 1024, warmup: int = 2, trials: int = 3
+) -> dict:
+    """Measure steady-state env-steps/s (best of ``trials`` timed runs —
+    remote-attached backends add high first-run latency)."""
     key = jax.random.PRNGKey(0)
     env = engine.init(key, env_batch)
     rollout = make_rollout(env_batch, iters)
-    # compile + warmup
+
+    def sync(e):
+        # a scalar device_get is the only reliable fence on remote-attached
+        # backends where block_until_ready can return early
+        return float(jax.device_get(e.merge_scores.sum()))
+
     for _ in range(max(warmup, 1)):
         env = rollout(env, key)
-    jax.block_until_ready(env.boards)
-    t0 = time.perf_counter()
-    env = rollout(env, jax.random.fold_in(key, 1))
-    jax.block_until_ready(env.boards)
-    elapsed = time.perf_counter() - t0
+        sync(env)
+    elapsed = float("inf")
+    for trial in range(max(trials, 1)):
+        t0 = time.perf_counter()
+        env = rollout(env, jax.random.fold_in(key, trial + 1))
+        sync(env)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     steps = env_batch * iters
     steps_per_s = steps / elapsed
     return {

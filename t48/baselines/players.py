@@ -124,12 +124,12 @@ def play_games(
     def body(carry, step_key):
         env, alive = carry
         pre_boards = env.boards
-        moved, deltas, legal = engine.peek_all(env.boards)
-        done_now = ~legal.any(-1)
-        k_pol, k_step = jax.random.split(step_key)
-        actions = policy(k_pol, env.boards, legal)
-        new_env, reward = engine.step_from_peek(
-            env, actions, k_step, moved, deltas, legal, p_four
+
+        def policy_fn(k_pol, boards, legal):
+            return policy(k_pol, boards, legal), None
+
+        new_env, actions, reward, done_now, legal, _ = engine.env_step(
+            env, policy_fn, step_key, p_four
         )
         # freeze finished games: keep their state, don't count steps
         active = alive & ~done_now

@@ -91,12 +91,38 @@ def _compress(v):
     return v
 
 
+def _merge_lanes(v):
+    """Compress→merge→compress on a list of K same-shaped lane arrays.
+
+    The core merge network: reproduces reference row semantics
+    (board.py:92-126) — single merge per tile pair, pairs resolved in
+    move direction. Returns (merged lane list, score, changed) where
+    every array has the lanes' common shape.
+    """
+    k = len(v)
+    orig = v
+    v = _compress(v)
+    score = jnp.zeros(v[0].shape, jnp.int32)
+    one = jnp.int32(1)
+    for i in range(k - 1):
+        m = (v[i] != 0) & (v[i] == v[i + 1])
+        v[i] = jnp.where(m, v[i] + 1, v[i])
+        v[i + 1] = jnp.where(m, 0, v[i + 1])
+        score = score + jnp.where(
+            m, jnp.left_shift(one, v[i].astype(jnp.int32)), 0
+        )
+    v = _compress(v)
+    changed = jnp.zeros(v[0].shape, bool)
+    for a, b in zip(v, orig):
+        changed = changed | (a != b)
+    return v, score, changed
+
+
 def merge_rows_left(rows: jax.Array):
     """Merge each length-K row toward index 0 (the 'left' move).
 
-    Reproduces reference semantics (board.py:92-126, golden-tested against
-    the merge table at /root/reference/tests/test_game_board.py:8-23):
-    single merge per tile pair, pairs resolved in move direction.
+    Golden-tested against the merge table at
+    /root/reference/tests/test_game_board.py:8-23.
 
     Args:
       rows: int[..., K] exponent-encoded rows.
@@ -107,27 +133,121 @@ def merge_rows_left(rows: jax.Array):
       matching ``_mergescore`` accumulation at board.py:113-114.
     """
     k = rows.shape[-1]
-    v = [rows[..., i] for i in range(k)]
-    v = _compress(v)
-    score = jnp.zeros(rows.shape[:-1], jnp.int32)
-    one = jnp.int32(1)
-    for i in range(k - 1):
-        m = (v[i] != 0) & (v[i] == v[i + 1])
-        v[i] = jnp.where(m, v[i] + 1, v[i])
-        v[i + 1] = jnp.where(m, 0, v[i + 1])
-        score = score + jnp.where(
-            m, jnp.left_shift(one, v[i].astype(jnp.int32)), 0
-        )
-    v = _compress(v)
-    merged = jnp.stack(v, axis=-1)
-    changed = jnp.any(merged != rows, axis=-1)
-    return merged, score, changed
+    v, score, changed = _merge_lanes([rows[..., i] for i in range(k)])
+    return jnp.stack(v, axis=-1), score, changed
 
 
-def _apply_rows(boards: jax.Array):
-    """Leftward merge over the last axis of [..., K, K] boards."""
-    merged, score, changed = merge_rows_left(boards)
-    return merged, score.sum(-1), changed.any(-1)
+def _direction_rows(action: int, k: int):
+    """Cell-index rows (merge order first) for one move direction.
+
+    The reference builds up/down/left/right from flips and transposes of
+    the leftward row kernel (board.py:147-183); in the cell-major layout
+    those transforms are free index permutations.
+    """
+    def idx(r, c):
+        return r * k + c
+
+    if action == LEFT:
+        return [[idx(r, c) for c in range(k)] for r in range(k)]
+    if action == RIGHT:
+        return [[idx(r, c) for c in reversed(range(k))] for r in range(k)]
+    if action == UP:
+        return [[idx(r, c) for r in range(k)] for c in range(k)]
+    if action == DOWN:
+        return [[idx(r, c) for r in reversed(range(k))] for c in range(k)]
+    raise ValueError(action)
+
+
+# ---------------------------------------------------------------------------
+# Cell-major (structure-of-arrays) core
+#
+# TPU layout rule: the minor-most dimension maps to the 128-wide vector
+# lanes. A [B, K, K] kernel puts K=4 in the lanes and wastes 97% of every
+# vector op; slicing single lanes out of [B, 16] is a per-cell lane
+# shuffle. So the hot path transposes once to cell-major [K*K, B] — each
+# cell is a lane-contiguous [B] vector, row slices along the major dim are
+# free, and flips/transposes are index permutations of the cell list.
+# ---------------------------------------------------------------------------
+
+
+def split_cells(boards: jax.Array):
+    """[B, K, K] → list of K² lane-contiguous [B] cell vectors."""
+    b = boards.shape[0]
+    k = boards.shape[-1]
+    cm = boards.reshape(b, k * k).T  # one relayout to cell-major
+    return [cm[i] for i in range(k * k)]
+
+
+def assemble_cells(cells, k: int):
+    """list of K² [B] cell vectors → [B, K, K]."""
+    return jnp.stack(cells, axis=0).T.reshape(-1, k, k)
+
+
+def peek_cells(cells, k: int):
+    """All-four-direction merge results in cell-major form.
+
+    Returns (dir_cells, deltas, changed): dir_cells[a] is the K²-list of
+    merged [B] cell vectors for action a; deltas[a]/changed[a] are [B]
+    score-delta / board-changed vectors. Action order: up, down, left,
+    right (board.py:129).
+    """
+    dir_cells, deltas, changed = [], [], []
+    for action in range(4):
+        new_cells = [None] * (k * k)
+        score = jnp.zeros(cells[0].shape, jnp.int32)
+        ch = jnp.zeros(cells[0].shape, bool)
+        for row in _direction_rows(action, k):
+            merged, s, c = _merge_lanes([cells[i] for i in row])
+            for i, out in zip(row, merged):
+                new_cells[i] = out
+            score = score + s
+            ch = ch | c
+        dir_cells.append(new_cells)
+        deltas.append(score)
+        changed.append(ch)
+    return dir_cells, deltas, changed
+
+
+def select_cells(dir_cells, actions: jax.Array):
+    """Per-env action select over the four merged boards, cell by cell —
+    three selects per cell instead of materializing [B, 4, K, K] and
+    gathering."""
+    n = len(dir_cells[0])
+    a = actions
+    out = []
+    for i in range(n):
+        up_or_down = jnp.where(a == UP, dir_cells[UP][i], dir_cells[DOWN][i])
+        left_or_right = jnp.where(a == LEFT, dir_cells[LEFT][i], dir_cells[RIGHT][i])
+        out.append(jnp.where(a <= DOWN, up_or_down, left_or_right))
+    return out
+
+
+def _select_lane(vals, actions: jax.Array):
+    """4-way select of [B] vectors by action."""
+    up_or_down = jnp.where(actions == UP, vals[UP], vals[DOWN])
+    left_or_right = jnp.where(actions == LEFT, vals[LEFT], vals[RIGHT])
+    return jnp.where(actions <= DOWN, up_or_down, left_or_right)
+
+
+def _spawn_cells(cells, did_move, key, p_four: float = 0.5):
+    """Spawn one 2-or-4 tile per board where ``did_move`` — in cell-major
+    form (see ``_spawn_batch`` for semantics)."""
+    empties = [c == 0 for c in cells]
+    n_empty = jnp.zeros(cells[0].shape, jnp.int32)
+    for e in empties:
+        n_empty = n_empty + e
+    k_cell, k_val = jax.random.split(key)
+    u = jax.random.randint(k_cell, cells[0].shape, 0, jnp.maximum(n_empty, 1))
+    val = jnp.where(
+        jax.random.bernoulli(k_val, p_four, cells[0].shape), 2, 1
+    ).astype(cells[0].dtype)
+    running = jnp.zeros(cells[0].shape, jnp.int32)
+    out = []
+    for c, e in zip(cells, empties):
+        target = did_move & e & (running == u)
+        out.append(jnp.where(target, val, c))
+        running = running + e
+    return out
 
 
 def peek_all(boards: jax.Array):
@@ -137,31 +257,63 @@ def peek_all(boards: jax.Array):
     (board.py:128-135). Here one fused call produces:
 
     Returns:
-      moved:  int32[..., 4, K, K] — board after each move (pre-spawn).
-      deltas: int32[..., 4]       — merge-score delta of each move.
-      legal:  bool[..., 4]        — move changes the board
-                                    (board.py:132-134 semantics).
+      moved:  int32[B, 4, K, K] — board after each move (pre-spawn).
+      deltas: int32[B, 4]       — merge-score delta of each move.
+      legal:  bool[B, 4]        — move changes the board
+                                  (board.py:132-134 semantics).
     Action order: up, down, left, right.
-    """
-    # left: rows as-is
-    l_m, l_s, l_c = _apply_rows(boards)
-    # right: reverse each row (board.py:175-183)
-    r_m, r_s, r_c = _apply_rows(jnp.flip(boards, axis=-1))
-    r_m = jnp.flip(r_m, axis=-1)
-    # up: merge columns toward the top = transpose → left → transpose
-    # (board.py:147-154 applies the row kernel to state.T)
-    t = jnp.swapaxes(boards, -1, -2)
-    u_m, u_s, u_c = _apply_rows(t)
-    u_m = jnp.swapaxes(u_m, -1, -2)
-    # down: transpose → reverse → left → reverse → transpose
-    # (board.py:156-164)
-    d_m, d_s, d_c = _apply_rows(jnp.flip(t, axis=-1))
-    d_m = jnp.swapaxes(jnp.flip(d_m, axis=-1), -1, -2)
 
-    moved = jnp.stack([u_m, d_m, l_m, r_m], axis=-3)
-    deltas = jnp.stack([u_s, d_s, l_s, r_s], axis=-1)
-    legal = jnp.stack([u_c, d_c, l_c, r_c], axis=-1)
-    return moved, deltas, legal
+    This array-materializing form serves tests and ad-hoc callers; the
+    hot paths (``env_step``, the train loop) stay in cell-major form.
+    """
+    k = boards.shape[-1]
+    cells = split_cells(boards)
+    dir_cells, deltas, changed = peek_cells(cells, k)
+    moved = jnp.stack([assemble_cells(dc, k) for dc in dir_cells], axis=1)
+    return moved, jnp.stack(deltas, axis=-1), jnp.stack(changed, axis=-1)
+
+
+def env_step(
+    state: EnvState,
+    policy_fn,
+    key: jax.Array,
+    p_four: float = 0.5,
+):
+    """One fused lockstep env step for all B envs.
+
+    ``policy_fn(key, boards, legal) -> (actions, aux)`` is evaluated
+    between the legality computation and the move select, so the merges
+    are computed once and never materialized as a [B, 4, K, K] tensor.
+
+    Returns (new_state, actions, reward int32[B], done_pre bool[B],
+    legal bool[B, 4], aux) — ``done_pre`` is the reference's pre-action
+    availability check (dqn_lib.py:17-18); ``aux`` is whatever the policy
+    returned (Q-values etc.).
+    """
+    k = state.boards.shape[-1]
+    k_policy, k_spawn = jax.random.split(key)
+    cells = split_cells(state.boards)
+    dir_cells, deltas, changed = peek_cells(cells, k)
+    legal = jnp.stack(changed, axis=-1)
+    done_pre = ~legal.any(-1)
+
+    actions, aux = policy_fn(k_policy, state.boards, legal)
+
+    sel_cells = select_cells(dir_cells, actions)
+    sel_delta = _select_lane(deltas, actions)
+    did_move = _select_lane(changed, actions)
+    spawned = _spawn_cells(sel_cells, did_move, k_spawn, p_four)
+    orig_cells = cells
+    new_cells = [
+        jnp.where(did_move, s, o) for s, o in zip(spawned, orig_cells)
+    ]
+    reward = jnp.where(did_move, sel_delta, 0)
+    new_state = EnvState(
+        boards=assemble_cells(new_cells, k),
+        merge_scores=state.merge_scores + reward,
+        step_counts=state.step_counts + 1,
+    )
+    return new_state, actions, reward, done_pre, legal, aux
 
 
 # ---------------------------------------------------------------------------
@@ -169,47 +321,43 @@ def peek_all(boards: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def _spawn(board: jax.Array, key: jax.Array, p_four: float = 0.5):
-    """Place a 2 or 4 in a uniformly random empty cell of one [K, K] board.
+def _spawn_batch(boards: jax.Array, key: jax.Array, p_four: float = 0.5):
+    """Place a 2 or 4 in a uniformly random empty cell of every board.
 
     Mirrors ``_populate_empty_cell`` (board.py:41-51): uniform cell choice
     over row-major empties; tile value 4 with probability ``p_four``
     (reference: uniform 0.5 via ``np.random.choice([2,4])``, board.py:49).
-    If the board has no empty cell the board is returned unchanged (the
-    reference never calls spawn on a full board because no-op moves skip
-    the spawn).
+    Boards with no empty cell are returned unchanged (the reference never
+    spawns on a full board because no-op moves skip the spawn).
+
+    Implemented on the cell-major core (``_spawn_cells``).
     """
-    k = board.shape[-1]
-    flat = board.reshape(-1)
-    empty = flat == 0
-    n_empty = empty.sum()
-    k_cell, k_val = jax.random.split(key)
-    u = jax.random.randint(k_cell, (), 0, jnp.maximum(n_empty, 1))
-    rank = jnp.cumsum(empty) - 1
-    target = empty & (rank == u)
-    exp4 = jax.random.bernoulli(k_val, p_four)
-    val = jnp.where(exp4, 2, 1).astype(flat.dtype)
-    return jnp.where(target, val, flat).reshape(k, k)
+    k = boards.shape[-1]
+    cells = split_cells(boards)
+    everywhere = jnp.ones(cells[0].shape, bool)
+    return assemble_cells(_spawn_cells(cells, everywhere, key, p_four), k)
 
 
-def _new_board(key: jax.Array, k: int, p_four: float = 0.5):
-    """Fresh board with two random spawns (board.py:18-20)."""
-    k1, k2 = jax.random.split(key)
-    b = jnp.zeros((k, k), jnp.int32)
-    b = _spawn(b, k1, p_four)
-    return _spawn(b, k2, p_four)
+def _spawn(board: jax.Array, key: jax.Array, p_four: float = 0.5):
+    """Single-board spawn (convenience/test wrapper over the batch form)."""
+    return _spawn_batch(board[None], key, p_four)[0]
 
 
+@functools.partial(jax.jit, static_argnames=("batch", "k", "p_four"))
 def new_boards(key: jax.Array, batch: int, k: int = 4, p_four: float = 0.5):
-    """int32[batch, k, k] of freshly initialized boards."""
-    keys = jax.random.split(key, batch)
-    return jax.vmap(lambda kk: _new_board(kk, k, p_four))(keys)
+    """int32[batch, k, k] of freshly initialized boards — two spawns each
+    (board.py:18-20). Jitted: eager per-op dispatch is pathologically slow
+    on remote-attached accelerators."""
+    k1, k2 = jax.random.split(key)
+    b = jnp.zeros((batch, k, k), jnp.int32)
+    b = _spawn_batch(b, k1, p_four)
+    return _spawn_batch(b, k2, p_four)
 
 
 def init(key: jax.Array, batch: int, k: int = 4, p_four: float = 0.5) -> EnvState:
     """Initialize a batch of environments."""
     return EnvState(
-        boards=new_boards(key, batch, k, p_four),
+        boards=new_boards(key, batch, k=k, p_four=p_four),
         merge_scores=jnp.zeros((batch,), jnp.int32),
         step_counts=jnp.zeros((batch,), jnp.int32),
     )
@@ -247,8 +395,7 @@ def step_from_peek(
     sel_delta = deltas[bidx, actions]
     did_move = legal[bidx, actions]
 
-    keys = jax.random.split(key, batch)
-    spawned = jax.vmap(lambda b, kk: _spawn(b, kk, p_four))(sel_board, keys)
+    spawned = _spawn_batch(sel_board, key, p_four)
     boards = jnp.where(did_move[:, None, None], spawned, state.boards)
     reward = jnp.where(did_move, sel_delta, 0)
     return (
@@ -262,16 +409,14 @@ def step_from_peek(
 
 
 def step(state: EnvState, actions: jax.Array, key: jax.Array, p_four: float = 0.5):
-    """``peek_all`` + ``step_from_peek`` in one call.
+    """Step with externally chosen actions (fused cell-major path).
 
     Returns (new_state, reward int32[B], done bool[B]) — ``done`` is
     computed on the *pre-action* board, matching the reference's
     availability check before acting (dqn_lib.py:17-18).
     """
-    moved, deltas, legal = peek_all(state.boards)
-    done = ~legal.any(-1)
-    new_state, reward = step_from_peek(
-        state, actions, key, moved, deltas, legal, p_four
+    new_state, _, reward, done, _, _ = env_step(
+        state, lambda kk, b, legal: (actions, None), key, p_four
     )
     return new_state, reward, done
 
@@ -280,7 +425,12 @@ def reset_where(state: EnvState, done: jax.Array, key: jax.Array, p_four: float 
     """Re-initialize the environments flagged in ``done``."""
     batch = done.shape[0]
     k = state.boards.shape[-1]
-    fresh = new_boards(key, batch, k, p_four)
+    k1, k2 = jax.random.split(key)
+    zeros = jnp.zeros((batch, k, k), jnp.int32)
+    cells = split_cells(zeros)
+    cells = _spawn_cells(cells, done, k1, p_four)
+    cells = _spawn_cells(cells, done, k2, p_four)
+    fresh = assemble_cells(cells, k)
     keep = ~done
     return EnvState(
         boards=jnp.where(done[:, None, None], fresh, state.boards),

@@ -195,19 +195,18 @@ def make_train_iteration(config: T48Config) -> Callable:
             config.no_episodes_to_fill_up_existing_model_replay_buffer,
         )
 
-        # ---- policy: one batched forward over all envs
-        boards = state.env.boards
-        flat = boards.reshape(batch, cells).astype(jnp.int8)
-        moved, deltas, legal = engine.peek_all(boards)
-        done_pre = ~legal.any(-1)  # availability check before acting
-        q_values = net.apply(state.params, encode(flat))
-        actions, max_q = policy_lib.epsilon_greedy(
-            k_policy, q_values, legal, eps, config.policy_compat
-        )
+        # ---- fused env step: merges computed once, policy forward runs
+        # between legality and move-select, no [B,4,K,K] materialization
+        def policy_fn(k_pol, boards, legal):
+            flat = boards.reshape(batch, cells).astype(jnp.int8)
+            q_values = net.apply(state.params, encode(flat))
+            actions, max_q = policy_lib.epsilon_greedy(
+                k_pol, q_values, legal, eps, config.policy_compat
+            )
+            return actions, (flat, max_q)
 
-        # ---- env transition (one peek_action per env, dqn_lib.py:91-107)
-        new_env, reward = engine.step_from_peek(
-            state.env, actions, k_step, moved, deltas, legal, config.p_four
+        new_env, actions, reward, done_pre, legal, (flat, max_q) = (
+            engine.env_step(state.env, policy_fn, k_step, config.p_four)
         )
         next_flat = new_env.boards.reshape(batch, cells).astype(jnp.int8)
 
