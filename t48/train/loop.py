@@ -132,35 +132,44 @@ def _encoder_for(arch: str, k: int) -> Callable:
 
 
 def create_train_state(config: T48Config, key: Optional[jax.Array] = None) -> TrainState:
-    """Initialize params, target, optimizer, envs, replay and counters."""
+    """Initialize params, target, optimizer, envs, replay and counters.
+
+    The whole construction runs as ONE jitted program — eager per-op
+    dispatch (dozens of zeros/copies) is pathologically slow on
+    remote-attached backends.
+    """
     if key is None:
         key = jax.random.PRNGKey(config.seed)
-    k_params, k_env, k_run = jax.random.split(key, 3)
     cells = config.board_k * config.board_k
     net = networks.build_network(config.arch)
     encode = _encoder_for(config.arch, config.board_k)
-    example = jnp.zeros((1, cells), jnp.int8)
-    params = net.init(k_params, encode(example))
-    target_params = jax.tree_util.tree_map(jnp.copy, params)
     optimizer = optax.adam(config.learning_rate)
-    env = engine.init(k_env, config.env_batch, config.board_k, config.p_four)
-    return TrainState(
-        params=params,
-        target_params=target_params,
-        opt_state=optimizer.init(params),
-        env=env,
-        ep_reward_sum=jnp.zeros((config.env_batch,), jnp.float32),
-        ep_q_sum=jnp.zeros((config.env_batch,), jnp.float32),
-        replay=replay_lib.create(config.replay_buffer_length, cells),
-        rng=k_run,
-        episodes_done=jnp.zeros((), jnp.int32),
-        env_steps=jnp.zeros((), jnp.int32),
-        train_steps=jnp.zeros((), jnp.int32),
-        last_train_episodes=jnp.zeros((), jnp.int32),
-        last_sync_episodes=jnp.zeros((), jnp.int32),
-        last_loss=jnp.zeros((), jnp.float32),
-        log=_create_log(config.episode_log_size),
-    )
+
+    @jax.jit
+    def _create(key):
+        k_params, k_env, k_run = jax.random.split(key, 3)
+        example = jnp.zeros((1, cells), jnp.int8)
+        params = net.init(k_params, encode(example))
+        env = engine.init(k_env, config.env_batch, config.board_k, config.p_four)
+        return TrainState(
+            params=params,
+            target_params=params,  # hard-synced copy (dqn_lib.py:227-228)
+            opt_state=optimizer.init(params),
+            env=env,
+            ep_reward_sum=jnp.zeros((config.env_batch,), jnp.float32),
+            ep_q_sum=jnp.zeros((config.env_batch,), jnp.float32),
+            replay=replay_lib.create(config.replay_buffer_length, cells),
+            rng=k_run,
+            episodes_done=jnp.zeros((), jnp.int32),
+            env_steps=jnp.zeros((), jnp.int32),
+            train_steps=jnp.zeros((), jnp.int32),
+            last_train_episodes=jnp.zeros((), jnp.int32),
+            last_sync_episodes=jnp.zeros((), jnp.int32),
+            last_loss=jnp.zeros((), jnp.float32),
+            log=_create_log(config.episode_log_size),
+        )
+
+    return _create(key)
 
 
 def make_train_iteration(config: T48Config) -> Callable:

@@ -22,6 +22,7 @@ from t48.configs.presets import T48Config
 from t48.exp.checkpoint import restore_checkpoint, save_checkpoint
 from t48.exp.experiment import Experiment
 from t48.train import loop as loop_lib
+from t48.utils.tracing import ThroughputMeter
 
 _ACTION_CHARS = ["u", "d", "l", "r"]
 
@@ -120,8 +121,8 @@ def train(
     target_episodes = max_episodes if max_episodes is not None else config.no_episodes
     last_save = int(state.episodes_done)
     last_print = int(state.episodes_done)
-    t_start = time.time()
-    steps_start = int(state.env_steps)
+    meter = ThroughputMeter()
+    meter.update(int(state.env_steps), int(state.episodes_done))
 
     def _save_all():
         experiment.save()
@@ -139,6 +140,7 @@ def train(
             assembler.feed(snapshot)
 
             done_now = int(state.episodes_done)
+            meter.update(int(state.env_steps), done_now)
             if verbose and episodes and done_now - last_print >= 10:
                 ep = episodes[-1]
                 # reference console line (dqn_lib.py:210-212)
@@ -151,12 +153,13 @@ def train(
                 _save_all()
                 last_save = done_now
                 if verbose:
-                    elapsed = time.time() - t_start
-                    steps = int(state.env_steps) - steps_start
+                    s = meter.summary()
                     print(
                         f"Saved game  [{done_now} episodes, "
-                        f"{steps / max(elapsed, 1e-9):,.0f} env-steps/s]"
+                        f"{s['env_steps_per_s']:,.0f} env-steps/s, "
+                        f"{s['episodes_per_s']:,.1f} episodes/s]"
                     )
+            experiment.add_hyperparameter({"throughput": meter.summary()})
         _save_all()
     except KeyboardInterrupt as e:
         print(e)
