@@ -11,9 +11,9 @@ import sys
 
 
 def main() -> int:
-    from t48.analysis.bench import run_bench
+    from t48.analysis.bench import run_headline_bench
 
-    result = run_bench(env_batch=32768, iters=1024)
+    result = run_headline_bench()
     print(
         json.dumps(
             {

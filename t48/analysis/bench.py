@@ -76,3 +76,59 @@ def run_bench(
         # reference end-to-end env throughput ≈ 40 steps/s (BASELINE.md)
         "vs_baseline": round(steps_per_s / 40.0, 1),
     }
+
+
+def run_bench_pallas(
+    env_batch: int = 32768, iters: int = 256, trials: int = 3, block: int = 1024
+) -> dict:
+    """Throughput of the fused Pallas rollout kernel (t48/ops/pallas_step):
+    the whole multi-step rollout runs VMEM-resident in one kernel with the
+    TPU-native PRNG."""
+    import jax.numpy as jnp
+
+    from t48.env import engine
+    from t48.ops import pallas_step as ps
+
+    key = jax.random.PRNGKey(0)
+    boards = engine.new_boards(key, env_batch)
+    cm = jax.jit(ps.to_cell_major)(boards)
+
+    def sync(out):
+        return float(jax.device_get(jnp.sum(out[1])))
+
+    out = ps.pallas_rollout(cm, jnp.int32(1), iters=iters, block=block)
+    sync(out)
+    elapsed = float("inf")
+    for t in range(max(trials, 1)):
+        t0 = time.perf_counter()
+        out = ps.pallas_rollout(cm, jnp.int32(2 + t), iters=iters, block=block)
+        sync(out)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    steps_per_s = env_batch * iters / elapsed
+    return {
+        "metric": "env_steps_per_s",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "env_batch": env_batch,
+        "iters": iters,
+        "elapsed_s": round(elapsed, 4),
+        "kernel": "pallas",
+        "device": str(jax.devices()[0]),
+        "vs_baseline": round(steps_per_s / 40.0, 1),
+    }
+
+
+def run_headline_bench() -> dict:
+    """The driver metric: best batched-board-step throughput across the
+    XLA scan path and the fused Pallas kernel (Pallas may be unavailable
+    off-TPU — fall back silently)."""
+    results = [run_bench()]
+    try:
+        results.append(run_bench_pallas())
+    except Exception:
+        pass
+    best = max(results, key=lambda r: r["value"])
+    best["paths"] = {
+        r.get("kernel", "xla"): r["value"] for r in results
+    }
+    return best
