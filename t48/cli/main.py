@@ -179,6 +179,50 @@ def cmd_play(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Learning-curve + max-tile report for a job (the reference's
+    experiment_analysis.ipynb as a command)."""
+    import os
+
+    from t48.analysis.report import render_report
+
+    report = render_report(os.path.join(args.root, args.job))
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def cmd_playback(args) -> int:
+    """Step through a snapshotted game (the reference's
+    strategy_analysis.ipynb as a command): prints each recorded
+    (board, action, reward) step."""
+    import os
+    import pickle
+
+    import numpy as np
+
+    path = os.path.join(
+        args.root, args.job, "binary/board_histories", f"episode_{args.episode}.p"
+    )
+    if not os.path.isfile(path):
+        folder = os.path.dirname(path)
+        have = sorted(os.listdir(folder)) if os.path.isdir(folder) else []
+        print(f"no snapshot {path}; available: {have}")
+        return 1
+    with open(path, "rb") as f:
+        history = pickle.load(f)
+    for t, (state, action, reward) in enumerate(history):
+        print(f"step {t}: action={action} reward={reward}")
+        print(np.asarray(state))
+        if args.interactive:
+            try:
+                if input("<enter>=next, q=quit: ").strip() == "q":
+                    break
+            except EOFError:
+                break
+    print(f"{len(history)} steps")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from t48.analysis.bench import run_bench
 
@@ -226,6 +270,18 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("play", help="interactive stdin game")
     p.set_defaults(fn=cmd_play)
+
+    p = sub.add_parser("analyze", help="learning-curve + max-tile report")
+    p.add_argument("--job", required=True)
+    p.add_argument("--root", default="experiments")
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("playback", help="replay a snapshotted game")
+    p.add_argument("--job", required=True)
+    p.add_argument("--root", default="experiments")
+    p.add_argument("--episode", type=int, required=True)
+    p.add_argument("--interactive", action="store_true")
+    p.set_defaults(fn=cmd_playback)
 
     p = sub.add_parser("bench", help="env-throughput benchmark")
     p.add_argument("--env-batch", type=int, default=8192)

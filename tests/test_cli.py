@@ -1,0 +1,70 @@
+"""CLI surface: every subcommand parses; train/analyze/playback E2E."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from t48.cli.main import main
+
+
+class TestParsing:
+    def test_help_lists_all_commands(self, capsys):
+        with pytest.raises(SystemExit):
+            main(["--help"])
+        out = capsys.readouterr().out
+        for cmd in ("train", "evaluate", "baselines", "seed-replay", "play",
+                    "analyze", "playback", "bench"):
+            assert cmd in out
+
+    def test_unknown_command_rejected(self):
+        with pytest.raises(SystemExit):
+            main(["frobnicate"])
+
+
+class TestTrainAnalyzePlayback:
+    def test_train_then_analyze_then_playback(self, tmp_path, capsys):
+        rc = main([
+            "train", "--preset", "dense", "--job", "cli_e2e",
+            "--root", str(tmp_path),
+            "--env-batch", "8", "--episodes", "30", "--batch-size", "32",
+            "--chunk-iters", "32",
+        ])
+        assert rc == 0
+        job = tmp_path / "cli_e2e"
+        assert (job / "binary/checkpoint.npz").is_file()
+
+        rc = main(["analyze", "--job", "cli_e2e", "--root", str(tmp_path)])
+        assert rc == 0
+        out = capsys.readouterr().out
+        report = json.loads(out[out.index("{"):])
+        assert report["learning_curve"]["total_episodes"] >= 30
+
+        snaps = sorted(os.listdir(job / "binary/board_histories"))
+        assert snaps
+        episode = int(snaps[0].split("_")[1].split(".")[0])
+        rc = main([
+            "playback", "--job", "cli_e2e", "--root", str(tmp_path),
+            "--episode", str(episode),
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "action=" in out
+
+    def test_playback_missing_snapshot(self, tmp_path, capsys):
+        os.makedirs(tmp_path / "empty" / "binary")
+        rc = main(["playback", "--job", "empty", "--root", str(tmp_path),
+                   "--episode", "5"])
+        assert rc == 1
+
+
+class TestSeedReplayCommand:
+    def test_seed_replay_writes_npz(self, tmp_path, capsys):
+        out_path = str(tmp_path / "seed.npz")
+        rc = main(["seed-replay", "--games", "2", "--max-expansions", "200",
+                   "--out", out_path])
+        assert rc == 0
+        data = np.load(out_path)
+        assert data["state"].shape[0] > 0
+        assert set(data.files) == {"state", "action", "reward", "next_state", "done"}
