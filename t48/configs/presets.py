@@ -53,6 +53,8 @@ class T48Config:
     use_astar_seed: bool = False
     astar_games: int = 100
     astar_max_expansions: int = 20000
+    # sanitizers (SURVEY.md §5): per-chunk env invariant assertions
+    debug_invariants: bool = False
 
     def hyperparams_dict(self) -> dict:
         """Reference-comparable hyperparams mapping (experiments.py:104-110

@@ -139,6 +139,11 @@ def train(
             experiment.add_episodes(episodes)
             assembler.feed(snapshot)
 
+            if config.debug_invariants:
+                from t48.utils.debug import assert_env_invariants
+
+                assert_env_invariants(state.env.boards, state.env.merge_scores)
+
             done_now = int(state.episodes_done)
             meter.update(int(state.env_steps), done_now)
             if verbose and episodes and done_now - last_print >= 10:
