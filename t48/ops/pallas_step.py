@@ -136,26 +136,31 @@ def _rollout_kernel(seed_ref, boards_ref, out_boards_ref, score_ref,
                     episodes_ref, steps_ref, *, iters: int):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     block = boards_ref.shape[1]
+    # Work in (8, block//8) tiles: a (1, block) vector occupies a single
+    # sublane of the 8×128 VPU; folding the batch into the sublane dim
+    # fills all eight.
+    sub = 8
+    lanes = block // sub
 
     init = (
-        boards_ref[:, :],
-        jnp.zeros((1, block), jnp.int32),  # cumulative reward in block
-        jnp.zeros((1, block), jnp.int32),  # episodes completed
+        boards_ref[:, :].reshape(NCELLS, sub, lanes),
+        jnp.zeros((sub, lanes), jnp.int32),  # cumulative reward in block
+        jnp.zeros((sub, lanes), jnp.int32),  # episodes completed
     )
 
     def body(_, carry):
         boards, score_acc, episodes = carry
-        cells = [boards[i : i + 1, :] for i in range(NCELLS)]
+        cells = [boards[i] for i in range(NCELLS)]
         dir_cells, deltas, legal = _peek(cells)  # legal: int32 0/1 masks
         n_legal = legal[0] + legal[1] + legal[2] + legal[3]
         done = jnp.where(n_legal == 0, 1, 0)
 
         # uniform over legal actions: random scores, −1 on illegal, argmax
-        rand = _rand_lanes((4, block))
-        best_score = jnp.full((1, block), -1, jnp.int32)
-        action = jnp.zeros((1, block), jnp.int32)
+        rand = _rand_lanes((4 * sub, lanes))
+        best_score = jnp.full((sub, lanes), -1, jnp.int32)
+        action = jnp.zeros((sub, lanes), jnp.int32)
         for a in range(4):
-            s = jnp.where(legal[a] != 0, rand[a : a + 1, :], -1)
+            s = jnp.where(legal[a] != 0, rand[a * sub : (a + 1) * sub, :], -1)
             take = s > best_score
             best_score = jnp.where(take, s, best_score)
             action = jnp.where(take, a, action)
@@ -173,27 +178,31 @@ def _rollout_kernel(seed_ref, boards_ref, out_boards_ref, score_ref,
         m_lr = jnp.where(action == 2, legal[2], legal[3])
         did = jnp.where(action <= 1, m_ud, m_lr)
 
-        spawn_bits = _rand_lanes((2, block))
-        sel = _spawn(sel, did, spawn_bits[0:1, :], spawn_bits[1:2, :])
+        spawn_bits = _rand_lanes((2 * sub, lanes))
+        sel = _spawn(sel, did, spawn_bits[0:sub, :], spawn_bits[sub:, :])
         new_cells = [
             jnp.where(did != 0, s, c) for s, c in zip(sel, cells)
         ]
         score_acc = score_acc + jnp.where(did != 0, delta, 0)
 
         # auto-reset finished envs: zero board + two spawns
-        reset_bits = _rand_lanes((4, block))
+        reset_bits = _rand_lanes((4 * sub, lanes))
         zero_cells = [jnp.where(done != 0, 0, c) for c in new_cells]
-        zero_cells = _spawn(zero_cells, done, reset_bits[0:1, :], reset_bits[1:2, :])
-        zero_cells = _spawn(zero_cells, done, reset_bits[2:3, :], reset_bits[3:4, :])
+        zero_cells = _spawn(
+            zero_cells, done, reset_bits[0:sub, :], reset_bits[sub : 2 * sub, :]
+        )
+        zero_cells = _spawn(
+            zero_cells, done, reset_bits[2 * sub : 3 * sub, :], reset_bits[3 * sub :, :]
+        )
         episodes = episodes + done
 
-        boards = jnp.concatenate(zero_cells, axis=0)
+        boards = jnp.stack(zero_cells, axis=0)
         return boards, score_acc, episodes
 
     boards, score_acc, episodes = jax.lax.fori_loop(0, iters, body, init)
-    out_boards_ref[:, :] = boards
-    score_ref[:, :] = score_acc
-    episodes_ref[:, :] = episodes
+    out_boards_ref[:, :] = boards.reshape(NCELLS, block)
+    score_ref[:, :] = score_acc.reshape(1, block)
+    episodes_ref[:, :] = episodes.reshape(1, block)
     steps_ref[0, 0] = iters * block
 
 

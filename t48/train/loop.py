@@ -194,7 +194,7 @@ def make_train_iteration(config: T48Config) -> Callable:
     log_size = config.episode_log_size
 
     def iteration(state: TrainState):
-        rng, k_policy, k_step, k_reset, k_sample = jax.random.split(state.rng, 5)
+        rng, k_step, k_reset, k_sample = jax.random.split(state.rng, 4)
 
         # ---- ε for the episodes currently in flight (dqn_lib.py:184-188)
         eps = epsilon_schedule(

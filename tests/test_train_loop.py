@@ -145,6 +145,27 @@ class TestTrainChunk:
         assert snap.reward.shape == (cfg.chunk_iters,)
         assert snap.done.shape == (cfg.chunk_iters,)
 
+    def test_reference_policy_compat_mode(self):
+        """The literal dqn_lib.py:25-28 normalization runs end-to-end."""
+        cfg = tiny_config(policy_compat="reference")
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, _ = chunk(state)
+        assert int(state.env_steps) == cfg.chunk_iters * cfg.env_batch
+
+    def test_compat_zero_update_mode(self):
+        """Reference train-order-bug emulation: params never move."""
+        cfg = tiny_config(compat_zero_update=True, no_episodes_before_training=0)
+        state0 = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, _ = chunk(state0)
+        assert int(state.train_steps) > 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state0.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
     def test_rng_determinism(self):
         cfg = tiny_config()
         s1 = loop_lib.create_train_state(cfg)
