@@ -70,6 +70,7 @@ def cmd_train(args) -> int:
         job_name=args.job,
         resume=args.resume,
         max_episodes=args.max_episodes,
+        data_parallel=args.data_parallel,
     )
     print(f"Training complete: {int(state.episodes_done)} episodes, "
           f"{int(state.train_steps)} learner updates → {experiment.folder}")
@@ -242,6 +243,8 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-episodes", type=int, default=None,
                    help="stop early after this many episodes")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="shard envs/replay over N devices (0 = all)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="play games with a trained model")

@@ -92,8 +92,14 @@ def train(
     resume: bool = False,
     max_episodes: Optional[int] = None,
     verbose: bool = True,
+    data_parallel: Optional[int] = None,
 ):
-    """Run (or resume) a full training job. Returns (state, experiment)."""
+    """Run (or resume) a full training job. Returns (state, experiment).
+
+    ``data_parallel``: shard envs/replay over this many devices on a
+    'data' mesh (0 = all visible devices; None = single-device). On a
+    multi-host slice call ``t48.distrib.init_distributed()`` first.
+    """
     experiment = Experiment(
         root_dir=root_dir, folder_name=job_name, resumed=resume, config=config
     )
@@ -108,6 +114,23 @@ def train(
         state = seed_replay_from_search(state, config)
         if verbose:
             print(f"Replay seeded with {int(state.replay.fill)} transitions")
+
+    if data_parallel is not None:
+        import jax as _jax
+
+        from t48.distrib import distribute_train_state, make_mesh
+
+        n = data_parallel if data_parallel > 0 else len(_jax.devices())
+        if config.env_batch % n or config.replay_buffer_length % n:
+            raise ValueError(
+                f"env_batch ({config.env_batch}) and replay_buffer_length "
+                f"({config.replay_buffer_length}) must divide the data-parallel "
+                f"degree {n}"
+            )
+        mesh = make_mesh(n_data=n)
+        state = distribute_train_state(state, mesh, config)
+        if verbose:
+            print(f"Distributed over {n}-device data mesh")
 
     chunk = loop_lib.make_train_chunk(config)
     assembler = SnapshotAssembler(
