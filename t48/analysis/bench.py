@@ -41,7 +41,7 @@ def make_rollout(env_batch: int, iters: int, k: int = 4):
 
 
 def run_bench(
-    env_batch: int = 32768, iters: int = 1024, warmup: int = 2, trials: int = 3
+    env_batch: int = 32768, iters: int = 4096, warmup: int = 2, trials: int = 3
 ) -> dict:
     """Measure steady-state env-steps/s (best of ``trials`` timed runs —
     remote-attached backends add high first-run latency)."""
@@ -79,11 +79,16 @@ def run_bench(
 
 
 def run_bench_pallas(
-    env_batch: int = 32768, iters: int = 256, trials: int = 3, block: int = 1024
+    env_batch: int = 32768, iters: int = 65536, trials: int = 3, block: int = 1024
 ) -> dict:
     """Throughput of the fused Pallas rollout kernel (t48/ops/pallas_step):
     the whole multi-step rollout runs VMEM-resident in one kernel with the
-    TPU-native PRNG."""
+    TPU-native PRNG.
+
+    ``iters`` is large so the measurement is steady-state: the
+    remote-attached backend adds ~30ms of fixed dispatch+sync latency per
+    call, which at short rollouts swamps the kernel (the kernel itself
+    retires ~2.1G env-steps in ~0.6s here)."""
     import jax.numpy as jnp
 
     from t48.env import engine

@@ -11,7 +11,15 @@ the WHOLE rollout inside one ``pallas_call``:
   all four directions, uniform-random-legal action, merge, spawn and
   auto-reset, with zero HBM traffic between steps;
 - randomness comes from the TPU-native PRNG (``pltpu.prng_seed`` /
-  ``prng_random_bits``), one 32-bit draw per purpose per step.
+  ``prng_random_bits``), one 32-bit draw per purpose per step;
+- three VPU-economy moves, each exhaustively pinned against the XLA
+  engine in tests/test_pallas.py: legality comes from direct
+  hole/pair line scans instead of four full merge networks
+  (``_legal_all``); only the *chosen* direction is merged, via a
+  canonicalize → merge-once → scatter select network
+  (``_apply_chosen``); the post-merge compaction is 2 conditional
+  shifts instead of a full 6-step bubble (see ``_merge_lanes``).
+  Together ~3.5B env-steps/s steady-state on one v5e chip.
 
 The merge/spawn semantics are the engine's (single merge per pair, no
 spawn on no-op, uniform 2/4) — cross-validated against the XLA engine in
@@ -44,11 +52,18 @@ _DIR_ROWS = {
 }
 
 
-def _merge_lanes(v):
-    """compress→merge→compress on 4 lane vectors (engine._merge_lanes).
+def _merge_lanes(v, with_changed: bool = True):
+    """compress→merge→short-compress on 4 lane vectors (engine._merge_lanes).
 
     Masks are int32 0/1 throughout — Mosaic cannot select on i1 vector
     operands, so booleans only ever appear as ``where`` conditions.
+
+    The trailing compress is 2 conditional shifts, not the full 6-step
+    bubble: after a full compress the zeros a merge pass can introduce sit
+    only at positions {1}, {2}, {3} or {1,3} of the non-zero prefix
+    (a merge at i zeroes i+1, and two merges cannot be adjacent), and a
+    single left-to-right pass over i=1,2 closes every such gap.
+    Exhaustively verified against the engine in tests/test_pallas.py.
     """
     k = len(v)
     orig = v
@@ -70,11 +85,120 @@ def _merge_lanes(v):
         v[i] = jnp.where(m, v[i] + 1, v[i])
         v[i + 1] = jnp.where(m, 0, v[i + 1])
         score = score + jnp.where(m, jnp.left_shift(jnp.int32(1), v[i]), 0)
-    v = compress(v)  # close the gaps merges opened
+    for i in range(1, k - 1):  # close the (single-width) gaps merges opened
+        az = v[i] == 0
+        v[i] = jnp.where(az, v[i + 1], v[i])
+        v[i + 1] = jnp.where(az, jnp.zeros_like(v[i + 1]), v[i + 1])
+    if not with_changed:
+        return v, score, None
     changed = jnp.zeros_like(v[0])
     for a, b in zip(v, orig):
         changed = jnp.where(a != b, 1, changed)
     return v, score, changed
+
+
+def _legal_line(line):
+    """(movable_front, movable_back) bool masks for one 4-cell line.
+
+    A move toward the line's front is legal iff the line has an adjacent
+    equal non-zero pair, or a zero in front of a non-zero (a tile can
+    slide); symmetrically for the back. This is exactly "applying the
+    move changes the line" (board.py:128-135 semantics) without running
+    the merge network — verified against ``_peek`` in tests/test_pallas.py.
+    """
+    nz = [c != 0 for c in line]
+    z = [jnp.logical_not(n) for n in nz]
+    pair = jnp.logical_or(
+        jnp.logical_or(
+            nz[0] & (line[0] == line[1]), nz[1] & (line[1] == line[2])
+        ),
+        nz[2] & (line[2] == line[3]),
+    )
+    s2 = nz[2] | nz[3]  # suffix "any non-zero"
+    s1 = nz[1] | s2
+    front = (z[0] & s1) | (z[1] & s2) | (z[2] & nz[3])
+    p1 = nz[0] | nz[1]  # prefix "any non-zero"
+    p2 = p1 | nz[2]
+    back = (nz[0] & z[1]) | (p1 & z[2]) | (p2 & z[3])
+    return pair | front, pair | back
+
+
+def _legal_all(cells):
+    """Legality bool masks for all four directions, directly from the
+    board (no merges). Order matches ACTIONS: up, down, left, right."""
+    legal = [None] * 4
+    for j in range(K):  # columns → up/down
+        col = [cells[r * K + j] for r in range(K)]
+        up, down = _legal_line(col)
+        legal[0] = up if legal[0] is None else (legal[0] | up)
+        legal[1] = down if legal[1] is None else (legal[1] | down)
+    for r in range(K):  # rows → left/right
+        row = [cells[r * K + j] for j in range(K)]
+        left, right = _legal_line(row)
+        legal[2] = left if legal[2] is None else (legal[2] | left)
+        legal[3] = right if legal[3] is None else (legal[3] | right)
+    return legal
+
+
+def _apply_chosen(cells, action):
+    """Merge only the chosen direction: gather each board's lines into
+    canonical toward-the-front order with per-lane selects, run the merge
+    network once, and scatter back. Returns (new_cells, delta).
+
+    Replaces computing all four direction merges and discarding three —
+    the legality the policy needs comes from ``_legal_all``.
+    """
+    a_up = action == 0
+    a_left = action == 2
+    a_vert = action <= 1
+
+    def pick(up_i, down_i, left_i, right_i):
+        vert = jnp.where(a_up, cells[up_i], cells[down_i])
+        horz = jnp.where(a_left, cells[left_i], cells[right_i])
+        return jnp.where(a_vert, vert, horz)
+
+    merged = [[None] * K for _ in range(K)]
+    delta = None
+    for j in range(K):
+        line = [
+            pick(
+                i * K + j,            # up: column j top→bottom
+                (K - 1 - i) * K + j,  # down: column j bottom→top
+                j * K + i,            # left: row j left→right
+                j * K + (K - 1 - i),  # right: row j right→left
+            )
+            for i in range(K)
+        ]
+        m, s, _ = _merge_lanes(line, with_changed=False)
+        merged[j] = m
+        delta = s if delta is None else delta + s
+
+    out = []
+    for r in range(K):
+        for c in range(K):
+            vert = jnp.where(a_up, merged[c][r], merged[c][K - 1 - r])
+            horz = jnp.where(a_left, merged[r][c], merged[r][K - 1 - c])
+            out.append(jnp.where(a_vert, vert, horz))
+    return out, delta
+
+
+def _reset_spawn2(cells, done, rand1, rand2, rand_val):
+    """Where ``done``, replace the board with a fresh one: zero it and
+    spawn two tiles in two distinct uniform cells (the reference's
+    ``Board2048.__init__`` double ``_populate_empty_cell``,
+    board.py:18-20). On an empty board the empty-cell scan is just the
+    cell index, and the second draw maps uniform [0,15) around the first
+    via ``u2 = u2' + (u2' >= u1)``."""
+    u1 = _uniform_index(rand1, jnp.full(rand1.shape, NCELLS, jnp.int32))
+    u2p = _uniform_index(rand2, jnp.full(rand2.shape, NCELLS - 1, jnp.int32))
+    u2 = u2p + jnp.where(u2p >= u1, 1, 0)
+    val1 = jnp.where((rand_val & 1) == 1, 2, 1)
+    val2 = jnp.where((rand_val & 2) == 2, 2, 1)
+    out = []
+    for i, c in enumerate(cells):
+        fresh = jnp.where(u1 == i, val1, jnp.where(u2 == i, val2, 0))
+        out.append(jnp.where(done, fresh.astype(c.dtype), c))
+    return out
 
 
 def _peek(cells):
@@ -151,52 +275,49 @@ def _rollout_kernel(seed_ref, boards_ref, out_boards_ref, score_ref,
     def body(_, carry):
         boards, score_acc, episodes = carry
         cells = [boards[i] for i in range(NCELLS)]
-        dir_cells, deltas, legal = _peek(cells)  # legal: int32 0/1 masks
-        n_legal = legal[0] + legal[1] + legal[2] + legal[3]
-        done = jnp.where(n_legal == 0, 1, 0)
+        legal = _legal_all(cells)  # 4 bool masks, no merges
+        done = jnp.logical_not(
+            (legal[0] | legal[1]) | (legal[2] | legal[3])
+        )
 
         # uniform over legal actions: random scores, −1 on illegal, argmax
         rand = _rand_lanes((4 * sub, lanes))
         best_score = jnp.full((sub, lanes), -1, jnp.int32)
         action = jnp.zeros((sub, lanes), jnp.int32)
         for a in range(4):
-            s = jnp.where(legal[a] != 0, rand[a * sub : (a + 1) * sub, :], -1)
+            s = jnp.where(legal[a], rand[a * sub : (a + 1) * sub, :], -1)
             take = s > best_score
             best_score = jnp.where(take, s, best_score)
             action = jnp.where(take, a, action)
 
-        # select merged cells / delta / moved per env
-        sel = []
-        for i in range(NCELLS):
-            ud = jnp.where(action == 0, dir_cells[0][i], dir_cells[1][i])
-            lr = jnp.where(action == 2, dir_cells[2][i], dir_cells[3][i])
-            sel.append(jnp.where(action <= 1, ud, lr))
-        d_ud = jnp.where(action == 0, deltas[0], deltas[1])
-        d_lr = jnp.where(action == 2, deltas[2], deltas[3])
-        delta = jnp.where(action <= 1, d_ud, d_lr)
-        m_ud = jnp.where(action == 0, legal[0], legal[1])
-        m_lr = jnp.where(action == 2, legal[2], legal[3])
-        did = jnp.where(action <= 1, m_ud, m_lr)
+        # merge the chosen direction only
+        sel, delta = _apply_chosen(cells, action)
+        did = (
+            ((action == 0) & legal[0])
+            | ((action == 1) & legal[1])
+            | ((action == 2) & legal[2])
+            | ((action == 3) & legal[3])
+        )
 
         spawn_bits = _rand_lanes((2 * sub, lanes))
-        sel = _spawn(sel, did, spawn_bits[0:sub, :], spawn_bits[sub:, :])
-        new_cells = [
-            jnp.where(did != 0, s, c) for s, c in zip(sel, cells)
-        ]
-        score_acc = score_acc + jnp.where(did != 0, delta, 0)
-
-        # auto-reset finished envs: zero board + two spawns
-        reset_bits = _rand_lanes((4 * sub, lanes))
-        zero_cells = [jnp.where(done != 0, 0, c) for c in new_cells]
-        zero_cells = _spawn(
-            zero_cells, done, reset_bits[0:sub, :], reset_bits[sub : 2 * sub, :]
+        sel = _spawn(
+            sel, jnp.where(did, 1, 0), spawn_bits[0:sub, :], spawn_bits[sub:, :]
         )
-        zero_cells = _spawn(
-            zero_cells, done, reset_bits[2 * sub : 3 * sub, :], reset_bits[3 * sub :, :]
-        )
-        episodes = episodes + done
+        new_cells = [jnp.where(did, s, c) for s, c in zip(sel, cells)]
+        score_acc = score_acc + jnp.where(did, delta, 0)
 
-        boards = jnp.stack(zero_cells, axis=0)
+        # auto-reset finished envs: fresh board with two uniform spawns
+        reset_bits = _rand_lanes((3 * sub, lanes))
+        new_cells = _reset_spawn2(
+            new_cells,
+            done,
+            reset_bits[0:sub, :],
+            reset_bits[sub : 2 * sub, :],
+            reset_bits[2 * sub :, :],
+        )
+        episodes = episodes + jnp.where(done, 1, 0)
+
+        boards = jnp.stack(new_cells, axis=0)
         return boards, score_acc, episodes
 
     boards, score_acc, episodes = jax.lax.fori_loop(0, iters, body, init)

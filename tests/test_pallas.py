@@ -75,6 +75,85 @@ class TestKernelHelpers:
             assert (g != 0).sum() == 2  # original tile + one spawn
             assert g[0, 0] == 5
 
+    def test_merge_lanes_exhaustive_rows(self):
+        # every 4-cell row over exponents 0..6 — pins the shortened
+        # 2-step post-merge compress against the engine's full compress
+        vals = np.arange(7)
+        rows = np.stack(
+            np.meshgrid(vals, vals, vals, vals, indexing="ij"), -1
+        ).reshape(-1, 4)
+        rows = jnp.asarray(rows, jnp.int32)
+        merged_e, score_e, changed_e = jax.jit(engine.merge_rows_left)(rows)
+        lanes = [rows[:, i] for i in range(4)]
+        merged_k, score_k, changed_k = ps._merge_lanes(lanes)
+        assert np.array_equal(
+            np.asarray(jnp.stack(merged_k, -1)), np.asarray(merged_e)
+        )
+        assert np.array_equal(np.asarray(score_k), np.asarray(score_e))
+        assert np.array_equal(np.asarray(changed_k != 0), np.asarray(changed_e))
+
+    def test_legal_all_matches_engine(self):
+        rng = np.random.default_rng(2)
+        boards = jnp.asarray(rng.integers(0, 4, size=(512, 4, 4)), jnp.int32)
+        _, _, legal_e = jax.jit(engine.peek_all)(boards)
+        cells = _cells_from_boards(boards)
+        legal_k = ps._legal_all(cells)
+        for a in range(4):
+            assert np.array_equal(
+                np.asarray(legal_k[a][0]), np.asarray(legal_e[:, a])
+            ), f"direction {a}"
+
+    def test_apply_chosen_matches_engine(self):
+        rng = np.random.default_rng(3)
+        boards = jnp.asarray(rng.integers(0, 6, size=(256, 4, 4)), jnp.int32)
+        moved_e, deltas_e, _ = jax.jit(engine.peek_all)(boards)
+        cells = _cells_from_boards(boards)
+        for a in range(4):
+            action = jnp.full((1, boards.shape[0]), a, jnp.int32)
+            out, delta = ps._apply_chosen(cells, action)
+            got = jnp.concatenate(out, axis=0).T.reshape(-1, 4, 4)
+            assert np.array_equal(np.asarray(got), np.asarray(moved_e[:, a]))
+            assert np.array_equal(
+                np.asarray(delta[0]), np.asarray(deltas_e[:, a])
+            )
+
+    def test_apply_chosen_mixed_actions(self):
+        rng = np.random.default_rng(4)
+        boards = jnp.asarray(rng.integers(0, 6, size=(256, 4, 4)), jnp.int32)
+        moved_e, deltas_e, _ = jax.jit(engine.peek_all)(boards)
+        actions = jnp.asarray(
+            rng.integers(0, 4, size=(1, boards.shape[0])), jnp.int32
+        )
+        cells = _cells_from_boards(boards)
+        out, delta = ps._apply_chosen(cells, actions)
+        got = np.asarray(jnp.concatenate(out, 0).T.reshape(-1, 4, 4))
+        a_np = np.asarray(actions[0])
+        want = np.asarray(moved_e)[np.arange(boards.shape[0]), a_np]
+        assert np.array_equal(got, want)
+        assert np.array_equal(
+            np.asarray(delta[0]),
+            np.asarray(deltas_e)[np.arange(boards.shape[0]), a_np],
+        )
+
+    def test_reset_spawn2(self):
+        rng = np.random.default_rng(5)
+        boards = jnp.asarray(rng.integers(1, 6, size=(64, 4, 4)), jnp.int32)
+        cells = _cells_from_boards(boards)
+        done = jnp.asarray(
+            (np.arange(64) % 2 == 0).reshape(1, 64)
+        )
+        r1 = jnp.asarray(rng.integers(0, 2**31, size=(1, 64)), jnp.int32)
+        r2 = jnp.asarray(rng.integers(0, 2**31, size=(1, 64)), jnp.int32)
+        rv = jnp.asarray(rng.integers(0, 2**31, size=(1, 64)), jnp.int32)
+        out = ps._reset_spawn2(cells, done, r1, r2, rv)
+        got = np.asarray(jnp.concatenate(out, 0).T.reshape(64, 4, 4))
+        for i, g in enumerate(got):
+            if i % 2 == 0:  # reset: exactly two tiles, values 2 or 4
+                nz = g[g != 0]
+                assert len(nz) == 2 and set(nz).issubset({1, 2}), g
+            else:  # untouched
+                assert np.array_equal(g, np.asarray(boards[i]))
+
     def test_cell_major_roundtrip(self):
         boards = engine.new_boards(jax.random.PRNGKey(0), 16)
         cm = ps.to_cell_major(boards)
