@@ -1,6 +1,6 @@
 """Q-networks, ε-greedy policy and Double-DQN learner."""
 
-from t48.agent.networks import DenseQNet, ConvQNet, build_network, init_params
+from t48.agent.networks import DenseQNet, ConvQNet, build_network
 from t48.agent.policy import epsilon_greedy, greedy_masked_action
 from t48.agent.learner import (
     double_dqn_targets,
@@ -13,7 +13,6 @@ __all__ = [
     "DenseQNet",
     "ConvQNet",
     "build_network",
-    "init_params",
     "epsilon_greedy",
     "greedy_masked_action",
     "double_dqn_targets",

@@ -108,8 +108,3 @@ def make_train_step(
         return LearnerOutput(new_params, new_opt_state, loss)
 
     return train_step
-
-
-def sync_target(params):
-    """Hard target-network sync (dqn_lib.py:227-228): target ← online."""
-    return jax.tree_util.tree_map(lambda x: x, params)

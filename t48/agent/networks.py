@@ -23,9 +23,8 @@ thousands of boards per forward, not hand-tiling a 16→512 matmul.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -77,13 +76,3 @@ def build_network(arch: str) -> nn.Module:
     if arch == "conv":
         return ConvQNet()
     raise ValueError(f"unknown architecture: {arch!r}")
-
-
-def init_params(net: nn.Module, key: jax.Array, example_input: jax.Array):
-    """Initialize parameters for ``net`` given an example encoded batch."""
-    return net.init(key, example_input)
-
-
-def make_apply(net: nn.Module) -> Callable:
-    """Returns ``apply(params, encoded_boards) -> Q[B, 4]``."""
-    return net.apply

@@ -145,6 +145,7 @@ def play_games(
                 pre_boards.reshape(b, -1).astype(jnp.int8),
                 actions.astype(jnp.int8),
                 reward,
+                env.merge_scores,  # cumulative, post-action (player.py:60)
                 (~active),
             )
         return (env, active), out
@@ -280,7 +281,10 @@ class Player:
         return stats
 
     def _assemble_histories(self, history) -> None:
-        boards, actions, rewards, dones = (
+        """History entries are 4-tuples ``(state, action, reward,
+        merge_score)`` — the reference ``play_game`` tuple layout
+        (player.py:60), with merge_score cumulative after the action."""
+        boards, actions, rewards, merge_scores, dones = (
             np.asarray(jax.device_get(x)) for x in history
         )
         t_max, b = actions.shape
@@ -292,7 +296,12 @@ class Player:
                 k = int(np.sqrt(exps.shape[0]))
                 values = np.where(exps == 0, 0, 2**exps).reshape(k, k)
                 game.append(
-                    (values, chars[int(actions[t, g]) % 4], int(rewards[t, g]))
+                    (
+                        values,
+                        chars[int(actions[t, g]) % 4],
+                        int(rewards[t, g]),
+                        int(merge_scores[t, g]),
+                    )
                 )
                 if dones[t, g]:
                     break

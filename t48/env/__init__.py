@@ -6,7 +6,6 @@ from t48.env.engine import (
     init,
     new_boards,
     peek_all,
-    step_from_peek,
     step,
     reset_where,
     encode_flat,
@@ -21,7 +20,6 @@ __all__ = [
     "init",
     "new_boards",
     "peek_all",
-    "step_from_peek",
     "step",
     "reset_where",
     "encode_flat",

@@ -368,46 +368,6 @@ def init(key: jax.Array, batch: int, k: int = 4, p_four: float = 0.5) -> EnvStat
 # ---------------------------------------------------------------------------
 
 
-def step_from_peek(
-    state: EnvState,
-    actions: jax.Array,
-    key: jax.Array,
-    moved: jax.Array,
-    deltas: jax.Array,
-    legal: jax.Array,
-    p_four: float = 0.5,
-):
-    """Advance all envs one step, reusing a previous ``peek_all`` result.
-
-    Semantics match one reference ``peek_action`` call per env
-    (board.py:147-183 + dqn_lib.py:102): if the chosen move changes the
-    board, apply it, add the merge delta, and spawn one tile; otherwise the
-    board is unchanged and no spawn happens. The step counter always
-    increments (the reference appends to ``_action_history``
-    unconditionally, board.py:149).
-
-    Returns (new_state, reward int32[B]) where reward is the merge-score
-    delta (``reward_func_merge_score``, dqn_lib.py:87-88).
-    """
-    batch = actions.shape[0]
-    bidx = jnp.arange(batch)
-    sel_board = moved[bidx, actions]
-    sel_delta = deltas[bidx, actions]
-    did_move = legal[bidx, actions]
-
-    spawned = _spawn_batch(sel_board, key, p_four)
-    boards = jnp.where(did_move[:, None, None], spawned, state.boards)
-    reward = jnp.where(did_move, sel_delta, 0)
-    return (
-        EnvState(
-            boards=boards,
-            merge_scores=state.merge_scores + reward,
-            step_counts=state.step_counts + 1,
-        ),
-        reward,
-    )
-
-
 def step(state: EnvState, actions: jax.Array, key: jax.Array, p_four: float = 0.5):
     """Step with externally chosen actions (fused cell-major path).
 

@@ -74,7 +74,11 @@ class Experiment:
             if config is not None:
                 with open(self._p("text/config.json"), "w") as f:
                     f.write(config.to_json())
-        self._jsonl = open(self._p("binary/episodes.jsonl"), "a")
+        # JSONL episodes are buffered and appended with a short-lived handle
+        # per flush (add_episodes / save / close) — no leaked file handle.
+        self._jsonl_pending: List[str] = []
+        self._root_dir = root_dir
+        self._history_written = resumed  # resumes don't re-log (C21)
 
     # ------------------------------------------------------------------
 
@@ -121,14 +125,21 @@ class Experiment:
 
     def add_episode(self, episode: dict) -> None:
         """Record one completed episode's metrics (reference schema,
-        experiments.py:112-122) — also appended crash-safely to JSONL."""
+        experiments.py:112-122) — also appended crash-safely to JSONL
+        at the next flush (add_episodes / save / close)."""
         self.episodes.append(episode)
-        self._jsonl.write(json.dumps(episode) + "\n")
+        self._jsonl_pending.append(json.dumps(episode))
 
     def add_episodes(self, episodes: List[dict]) -> None:
         for ep in episodes:
             self.add_episode(ep)
-        self._jsonl.flush()
+        self._flush_jsonl()
+
+    def _flush_jsonl(self) -> None:
+        if self._jsonl_pending:
+            with open(self._p("binary/episodes.jsonl"), "a") as f:
+                f.write("\n".join(self._jsonl_pending) + "\n")
+            self._jsonl_pending = []
 
     def snapshot_game(self, board_history, episode: int) -> None:
         """Persist one game's playback: list of (state ndarray, action
@@ -138,8 +149,27 @@ class Experiment:
         with open(path, "wb") as f:
             pickle.dump(board_history, f)
 
+    def _append_history(self) -> None:
+        """Append this job's hyperparameters to the repo-level
+        ``<root_dir>/HISTORY.md`` — the cross-experiment hyperparameter
+        history the reference keeps by hand in experiments.txt
+        (experiments.txt:1-69, SURVEY.md C21). Once per job."""
+        if self._history_written or not self.hyperparameters:
+            return
+        path = os.path.join(self._root_dir, "HISTORY.md")
+        lines = [f"## {os.path.basename(self.folder)}"]
+        lines.append(f"- started: {time.strftime('%Y-%m-%d %H:%M:%S')}")
+        for key in sorted(self.hyperparameters):
+            if key in ("throughput", "eval_summary"):
+                continue  # run outputs, not hyperparameters
+            lines.append(f"- {key}: {self.hyperparameters[key]}")
+        with open(path, "a") as f:
+            f.write("\n".join(lines) + "\n\n")
+        self._history_written = True
+
     def save(self) -> None:
         """Write all metadata artifacts (experiments.py:128-148)."""
+        self._append_history()
         with open(self._p("text/hyperparams.json"), "w") as f:
             json.dump(self.hyperparameters, f, indent=4, default=str)
         elapsed = time.time() - self.runtime
@@ -151,7 +181,7 @@ class Experiment:
             pickle.dump(round(elapsed, 2), f)
         with open(self._p("binary/episodes.p"), "wb") as f:
             pickle.dump(self.episodes, f)
-        self._jsonl.flush()
+        self._flush_jsonl()
 
     def save_games_played(self, games_history: list) -> None:
         """Append evaluation games to the growing games_played.p pickle
@@ -166,4 +196,5 @@ class Experiment:
             pickle.dump(total, f)
 
     def close(self) -> None:
-        self._jsonl.close()
+        """Flush any buffered JSONL episodes (idempotent)."""
+        self._flush_jsonl()

@@ -52,6 +52,43 @@ class TestTrainAnalyzePlayback:
         out = capsys.readouterr().out
         assert "action=" in out
 
+    def test_train_then_evaluate(self, tmp_path, capsys):
+        """`t48 evaluate` loads params-only from the checkpoint (no replay
+        allocation) and plays greedy games with the trained Q-net."""
+        rc = main([
+            "train", "--preset", "dense", "--job", "cli_eval",
+            "--root", str(tmp_path),
+            "--env-batch", "8", "--episodes", "20", "--batch-size", "32",
+            "--chunk-iters", "16",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        rc = main([
+            "evaluate", "--job", "cli_eval", "--root", str(tmp_path),
+            "--games", "16", "--histories",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        stats = json.loads(out[out.index("{"):])
+        assert stats["games"] == 16
+        assert stats["best_max_tile"] >= 8
+        # histories were persisted in the reference 4-tuple layout
+        import pickle
+
+        with open(tmp_path / "cli_eval/binary/games_played.p", "rb") as f:
+            games = pickle.load(f)
+        assert len(games) == 16
+        assert len(games[0][0]) == 4  # (state, action, reward, merge_score)
+
+    def test_baselines_command(self, tmp_path, capsys):
+        rc = main(["baselines", "--games", "8", "--root", str(tmp_path)])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Random Games" in out and "Upleft games" in out
+        for job in ("random_baseline", "upleft_baseline"):
+            stats_json = (tmp_path / job / "text/hyperparams.json").read_text()
+            assert json.loads(stats_json)["eval_summary"]["games"] == 8
+
     def test_playback_missing_snapshot(self, tmp_path, capsys):
         os.makedirs(tmp_path / "empty" / "binary")
         rc = main(["playback", "--job", "empty", "--root", str(tmp_path),

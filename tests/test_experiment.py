@@ -97,6 +97,27 @@ class TestExperimentFolder:
             games = pickle.load(f)
         assert len(games) == 3
 
+    def test_cross_experiment_history(self, tmp_path):
+        """Repo-level HISTORY.md accumulates each job's hyperparameters
+        (the reference's hand-kept experiments.txt, C21)."""
+        for name, lr in (("jobA", 0.01), ("jobB", 0.001)):
+            exp = Experiment(root_dir=str(tmp_path), folder_name=name)
+            exp.add_hyperparameter({"learning_rate": lr, "batch_size": 64})
+            exp.save()
+            exp.save()  # idempotent: one history block per job
+        text = (tmp_path / "HISTORY.md").read_text()
+        assert text.count("## jobA") == 1
+        assert text.count("## jobB") == 1
+        assert "learning_rate: 0.01" in text
+        assert "learning_rate: 0.001" in text
+        # resume does not duplicate the block
+        resumed = Experiment(
+            root_dir=str(tmp_path), folder_name="jobA", resumed=True
+        )
+        resumed.save()
+        text = (tmp_path / "HISTORY.md").read_text()
+        assert text.count("## jobA") == 1
+
     def test_snapshot_game(self, tmp_path):
         exp = Experiment(root_dir=str(tmp_path), folder_name="snap")
         history = [(np.zeros((4, 4)), "u", 4)]
@@ -147,6 +168,60 @@ class TestCheckpoint:
         other = loop_lib.create_train_state(tiny_config(env_batch=16))
         with pytest.raises(ValueError):
             restore_checkpoint(path, other)
+
+    def test_renamed_field_rejected(self, tmp_path):
+        """Leaves are matched by pytree path: a renamed/missing field fails
+        loudly with the offending names, never silently permutes."""
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, state)
+        with np.load(path) as data:
+            arrays = {k: data[k] for k in data.files}
+        # simulate a field rename in a future code version
+        victim = next(k for k in arrays if ".episodes_done" in k)
+        arrays[victim.replace("episodes_done", "episodes_completed")] = (
+            arrays.pop(victim)
+        )
+        np.savez(path, **arrays)
+        with pytest.raises(ValueError, match="episodes_"):
+            restore_checkpoint(path, loop_lib.create_train_state(cfg))
+
+    def test_restore_subtree_params_only(self, tmp_path):
+        """Evaluation loads just `.params` without building the full
+        TrainState (no replay/env/optimizer allocation)."""
+        from t48.exp.checkpoint import restore_subtree
+
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        state, _ = chunk(state)
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, state)
+        params = restore_subtree(
+            path, jax.tree_util.tree_map(np.zeros_like, state.params), ".params"
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError, match="no leaf"):
+            restore_subtree(path, state.params, ".nonexistent_field")
+
+    def test_v1_positional_checkpoint_still_loads(self, tmp_path):
+        """Round-1 checkpoints used positional leaf_{i} keys."""
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        path = str(tmp_path / "v1.npz")
+        leaves = jax.tree_util.tree_leaves(state)
+        np.savez(
+            path,
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        )
+        restored = restore_checkpoint(path, loop_lib.create_train_state(cfg))
+        for a, b in zip(leaves, jax.tree_util.tree_leaves(restored)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestTrainerEndToEnd:

@@ -64,11 +64,15 @@ class TestPlayGames:
             max_steps=512,
             record_history=True,
         )
-        boards, actions, rewards, dones = history
+        boards, actions, rewards, merge_scores, dones = history
         assert boards.shape == (512, 4, 16)
+        assert merge_scores.shape == (512, 4)
         d = np.asarray(dones)
         # every game eventually flags done
         assert d.any(axis=0).all()
+        # cumulative merge score is non-decreasing over each game
+        ms = np.asarray(merge_scores)
+        assert (np.diff(ms, axis=0) >= 0).all()
 
     def test_player_facade_with_experiment(self, tmp_path):
         from t48.exp.experiment import Experiment
@@ -84,10 +88,14 @@ class TestPlayGames:
         with open(os.path.join(exp.folder, "binary/games_played.p"), "rb") as f:
             games = pickle.load(f)
         assert len(games) == 8
-        # history tuples are (raw-value board, action char, reward)
-        board, action, reward = games[0][0]
+        # history tuples are (raw-value board, action char, reward,
+        # merge_score) — the reference play_game layout (player.py:60)
+        board, action, reward, merge_score = games[0][0]
         assert board.shape == (4, 4)
         assert action in "udlr"
+        assert merge_score >= reward >= 0
+        # last entry's cumulative merge score dominates any step reward
+        assert games[0][-1][3] >= max(step[2] for step in games[0])
 
 
 class TestUpleftGolden:
