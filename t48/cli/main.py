@@ -78,28 +78,35 @@ def cmd_train(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
-    import jax
+    import os
 
+    import jax
+    import jax.numpy as jnp
+
+    from t48.agent.networks import build_network
     from t48.baselines.players import Player
     from t48.configs import T48Config
-    from t48.exp.checkpoint import restore_checkpoint
+    from t48.exp.checkpoint import restore_subtree
     from t48.exp.experiment import Experiment
-    from t48.train.loop import create_train_state, _encoder_for
-    from t48.agent.networks import build_network
-    import os
+    from t48.train.loop import encoder_for
 
     experiment = Experiment(root_dir=args.root, folder_name=args.job, resumed=True)
     config_path = os.path.join(experiment.folder, "text/config.json")
     with open(config_path) as f:
         config = T48Config.from_json(f.read())
-    template = create_train_state(config)
-    state = restore_checkpoint(experiment.checkpoint_path, template)
     net = build_network(config.arch)
+    encode = encoder_for(config.arch, config.board_k)
+    # params-only load: init a template of the right structure and restore
+    # the checkpoint's `.params` subtree by name — no replay buffer / env /
+    # optimizer allocation just to evaluate.
+    cells = config.board_k * config.board_k
+    template = net.init(jax.random.PRNGKey(0), encode(jnp.zeros((1, cells), jnp.int8)))
+    params = restore_subtree(experiment.checkpoint_path, template, ".params")
     player = Player(
         experiment=experiment,
         apply_fn=net.apply,
-        params=state.params,
-        encode=_encoder_for(config.arch, config.board_k),
+        params=params,
+        encode=encode,
         encoding=args.encoding,
     )
     stats = player.play_n_games(
@@ -225,9 +232,30 @@ def cmd_playback(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from t48.analysis.bench import run_bench
+    if args.train:
+        from t48.analysis.bench import run_train_bench
 
-    result = run_bench(env_batch=args.env_batch, iters=args.iters)
+        result = run_train_bench(
+            preset=args.preset,
+            env_batches=tuple(args.train_batches),
+            chunk_iters=args.chunk_iters,
+        )
+    elif args.breakdown:
+        from t48.analysis.bench import run_phase_breakdown
+
+        result = run_phase_breakdown(
+            preset=args.preset,
+            env_batch=args.env_batch,
+            chunk_iters=args.chunk_iters,
+        )
+    elif args.roofline:
+        from t48.analysis.bench import env_kernel_roofline
+
+        result = env_kernel_roofline(env_batch=args.env_batch, iters=args.iters)
+    else:
+        from t48.analysis.bench import run_bench
+
+        result = run_bench(env_batch=args.env_batch, iters=args.iters)
     print(json.dumps(result))
     return 0
 
@@ -286,9 +314,19 @@ def main(argv=None) -> int:
     p.add_argument("--interactive", action="store_true")
     p.set_defaults(fn=cmd_playback)
 
-    p = sub.add_parser("bench", help="env-throughput benchmark")
+    p = sub.add_parser("bench", help="throughput / MFU benchmarks")
     p.add_argument("--env-batch", type=int, default=8192)
     p.add_argument("--iters", type=int, default=2048)
+    p.add_argument("--train", action="store_true",
+                   help="bench the real training iteration across env batches")
+    p.add_argument("--train-batches", type=int, nargs="+",
+                   default=[64, 1024, 4096, 16384])
+    p.add_argument("--breakdown", action="store_true",
+                   help="per-stage timing of the training iteration")
+    p.add_argument("--roofline", action="store_true",
+                   help="VPU roofline of the Pallas env kernel")
+    p.add_argument("--preset", default="conv")
+    p.add_argument("--chunk-iters", type=int, default=256)
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

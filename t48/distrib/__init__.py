@@ -1,15 +1,17 @@
 """Device mesh / sharding runtime for multi-chip scaling."""
 
 from t48.distrib.mesh import (
+    distribute_train_state,
+    fully_replicated,
+    init_distributed,
     make_mesh,
     train_state_shardings,
-    distribute_train_state,
-    init_distributed,
 )
 
 __all__ = [
+    "distribute_train_state",
+    "fully_replicated",
+    "init_distributed",
     "make_mesh",
     "train_state_shardings",
-    "distribute_train_state",
-    "init_distributed",
 ]

@@ -16,10 +16,21 @@ component SURVEY.md §2.3 mandates:
   annotate-shardings-let-GSPMD-insert-collectives recipe);
 - multi-host process groups come from ``jax.distributed.initialize``.
 
-No hand-written communication: placement is declared via
-``jax.device_put`` of the ``TrainState`` with these shardings, and the
-*unchanged* jitted train chunk (t48/train/loop.py) compiles into an SPMD
-program over the mesh.
+No hand-written communication: shardings are declared on the
+``TrainState`` leaves and the *unchanged* jitted train chunk
+(t48/train/loop.py) compiles into an SPMD program over the mesh. With
+the per-env replay rings (t48/replay/buffer.py) every insert and every
+sampled transition is shard-local; the learner's parameter-gradient
+all-reduce is the only large collective in the compiled step
+(asserted on the HLO in tests/test_sharding.py).
+
+Multi-host: construction is **process-local** — fresh states are built
+by a jitted init with ``out_shardings`` (each process materializes only
+its addressable shards), and host-global states (checkpoint restores)
+are placed with ``jax.make_array_from_callback`` (each process serves
+only the shard indices it owns). No host ever builds or transfers a
+global array it doesn't own a piece of, which is what a real multi-host
+slice requires (non-addressable devices reject ``jax.device_put``).
 """
 
 from __future__ import annotations
@@ -107,6 +118,34 @@ def train_state_shardings(state, mesh: Mesh, config: T48Config):
 
 
 def distribute_train_state(state, mesh: Mesh, config: T48Config):
-    """Place a ``TrainState`` onto the mesh with the DP layout."""
+    """Place a host-global ``TrainState`` onto the mesh with the DP layout.
+
+    Multi-host-safe: each leaf is placed with
+    ``jax.make_array_from_callback``, so every process fetches only the
+    index ranges of the shards it owns — unlike ``jax.device_put``, which
+    fails on non-addressable devices. Use for states every host holds in
+    full (fresh host-side creations, checkpoint restores); fresh
+    distributed states are better built directly with
+    ``create_train_state(config, mesh=mesh)`` (process-local jitted init,
+    no host-global intermediate).
+    """
     shardings = train_state_shardings(state, mesh, config)
-    return jax.device_put(state, shardings)
+
+    def place(x, sharding):
+        arr = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree_util.tree_map(place, state, shardings)
+
+
+def fully_replicated(state, mesh: Mesh):
+    """Gather a mesh-sharded pytree into fully-replicated form (a jitted
+    identity with replicated out-shardings — XLA emits the all-gathers).
+    After this every process can ``device_get`` every leaf, which is what
+    host-0-gated checkpointing needs on a multi-host slice. Must be
+    called by ALL processes (it is a collective program)."""
+    rep = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(lambda _: rep, state)
+    return jax.jit(lambda s: s, out_shardings=shardings)(state)

@@ -1,5 +1,23 @@
-"""HBM-resident circular replay buffer."""
+"""HBM-resident per-env-ring replay buffer."""
 
-from t48.replay.buffer import ReplayState, create, add_batch, sample, Transition
+from t48.replay.buffer import (
+    ReplayState,
+    Transition,
+    add_many,
+    add_step,
+    create,
+    per_env_capacity,
+    sample,
+    sample_rows,
+)
 
-__all__ = ["ReplayState", "create", "add_batch", "sample", "Transition"]
+__all__ = [
+    "ReplayState",
+    "Transition",
+    "add_many",
+    "add_step",
+    "create",
+    "per_env_capacity",
+    "sample",
+    "sample_rows",
+]

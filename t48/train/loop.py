@@ -25,6 +25,13 @@ multiple episodes may complete per iteration, in which case the learner
 still fires once (the batched analogue of once-per-episode; documented
 divergence).
 
+Documented divergence — episode numbering: the reference numbers episodes
+by *start* order (the loop index, dqn_lib.py:174); here an episode's
+``number`` is its *completion* rank (ties within one iteration broken by
+env index). At env_batch=1 the two coincide; at env_batch=B a long game
+gets a later number than a short game started after it. All schedules and
+metrics key off completed-episode counts, so curves remain comparable.
+
 Env 0 is the *snapshot env*: its per-step (board, action, reward, done)
 stream is emitted from the scan so the host can reconstruct full game
 histories for the reference's ``snapshot_game`` playback artifacts
@@ -67,6 +74,26 @@ class EpisodeLog:
     epsilon: jax.Array  # f32[E+1]
     number_moves: jax.Array  # int32[E+1]
     ptr: jax.Array  # int32 scalar, monotonic
+
+
+def effective_log_size(config: T48Config) -> int:
+    """Episode-ring capacity that provably cannot overflow within a chunk.
+
+    A 2048 episode lasts at least K²−2 env steps: a fresh board holds 2
+    tiles, the game can only end with the board full (any empty cell
+    admits a legal slide), each step spawns at most one tile and merges
+    only remove tiles — so ≥ K²−2 spawning steps must pass before a board
+    can fill. Per chunk each env therefore completes at most
+    ``1 + (chunk_iters−1) // (K²−2)`` episodes (the +1 covers an episode
+    already in flight at the chunk boundary). Sizing the ring to that
+    bound × env_batch makes the drain's drop path an impossible state;
+    ``config.episode_log_size`` only ever *raises* the capacity.
+    """
+    min_episode_steps = config.board_k * config.board_k - 2
+    bound = config.env_batch * (
+        1 + (config.chunk_iters - 1) // min_episode_steps
+    )
+    return max(config.episode_log_size, bound)
 
 
 def _create_log(size: int) -> EpisodeLog:
@@ -120,7 +147,7 @@ class SnapshotStream(NamedTuple):
     done: jax.Array  # bool[T]
 
 
-def _encoder_for(arch: str, k: int) -> Callable:
+def encoder_for(arch: str, k: int) -> Callable:
     """Encoder from *flat int8 exponent* storage to network input."""
     if arch == "dense":
         return lambda flat: flat.astype(jnp.float32)
@@ -131,21 +158,29 @@ def _encoder_for(arch: str, k: int) -> Callable:
     raise ValueError(arch)
 
 
-def create_train_state(config: T48Config, key: Optional[jax.Array] = None) -> TrainState:
+def create_train_state(
+    config: T48Config,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+) -> TrainState:
     """Initialize params, target, optimizer, envs, replay and counters.
 
     The whole construction runs as ONE jitted program — eager per-op
     dispatch (dozens of zeros/copies) is pathologically slow on
     remote-attached backends.
+
+    With ``mesh`` the init is compiled with the DP ``out_shardings``
+    (t48/distrib/mesh.py), so each device materializes its own env/replay
+    shards directly — **process-local construction**: on a multi-host
+    slice no host ever builds the global state (SURVEY.md §2.3).
     """
     if key is None:
         key = jax.random.PRNGKey(config.seed)
     cells = config.board_k * config.board_k
     net = networks.build_network(config.arch)
-    encode = _encoder_for(config.arch, config.board_k)
+    encode = encoder_for(config.arch, config.board_k)
     optimizer = optax.adam(config.learning_rate)
 
-    @jax.jit
     def _create(key):
         k_params, k_env, k_run = jax.random.split(key, 3)
         example = jnp.zeros((1, cells), jnp.int8)
@@ -158,7 +193,9 @@ def create_train_state(config: T48Config, key: Optional[jax.Array] = None) -> Tr
             env=env,
             ep_reward_sum=jnp.zeros((config.env_batch,), jnp.float32),
             ep_q_sum=jnp.zeros((config.env_batch,), jnp.float32),
-            replay=replay_lib.create(config.replay_buffer_length, cells),
+            replay=replay_lib.create(
+                config.replay_buffer_length, cells, config.env_batch
+            ),
             rng=k_run,
             episodes_done=jnp.zeros((), jnp.int32),
             env_steps=jnp.zeros((), jnp.int32),
@@ -166,20 +203,40 @@ def create_train_state(config: T48Config, key: Optional[jax.Array] = None) -> Tr
             last_train_episodes=jnp.zeros((), jnp.int32),
             last_sync_episodes=jnp.zeros((), jnp.int32),
             last_loss=jnp.zeros((), jnp.float32),
-            log=_create_log(config.episode_log_size),
+            log=_create_log(effective_log_size(config)),
         )
 
-    return _create(key)
+    if mesh is None:
+        return jax.jit(_create)(key)
+    from t48.distrib.mesh import train_state_shardings
+
+    template = jax.eval_shape(_create, key)
+    shardings = train_state_shardings(template, mesh, config)
+    return jax.jit(_create, out_shardings=shardings)(key)
 
 
-def make_train_iteration(config: T48Config) -> Callable:
+def make_train_iteration(
+    config: T48Config,
+    *,
+    with_policy: bool = True,
+    with_replay: bool = True,
+    with_learner: bool = True,
+    with_log: bool = True,
+) -> Callable:
     """Build ``iteration(state) -> (state, snapshot_record)``.
 
     One iteration = one lockstep env step for all B envs + episode
     accounting + (conditionally) one learner update + target sync.
+
+    The ``with_*`` flags ablate pipeline stages for the phase-breakdown
+    benchmark (t48/analysis/bench.py): ``with_policy=False`` steps with a
+    uniform random-legal policy (no network forward); ``with_replay`` /
+    ``with_learner`` / ``with_log`` skip replay writes, the learner update
+    + target sync, and the episode-ring writes respectively. Training
+    always uses the defaults (everything on).
     """
     net = networks.build_network(config.arch)
-    encode = _encoder_for(config.arch, config.board_k)
+    encode = encoder_for(config.arch, config.board_k)
     optimizer = optax.adam(config.learning_rate)
     train_step = learner_lib.make_train_step(
         net.apply,
@@ -191,7 +248,7 @@ def make_train_iteration(config: T48Config) -> Callable:
     )
     batch = config.env_batch
     cells = config.board_k * config.board_k
-    log_size = config.episode_log_size
+    log_size = effective_log_size(config)
 
     def iteration(state: TrainState):
         rng, k_step, k_reset, k_sample = jax.random.split(state.rng, 4)
@@ -208,6 +265,12 @@ def make_train_iteration(config: T48Config) -> Callable:
         # between legality and move-select, no [B,4,K,K] materialization
         def policy_fn(k_pol, boards, legal):
             flat = boards.reshape(batch, cells).astype(jnp.int8)
+            if not with_policy:  # bench ablation: uniform random-legal
+                scores = jax.random.uniform(k_pol, legal.shape)
+                actions = jnp.argmax(
+                    jnp.where(legal, scores, -1.0), -1
+                ).astype(jnp.int32)
+                return actions, (flat, jnp.zeros((batch,), jnp.float32))
             q_values = net.apply(state.params, encode(flat))
             actions, max_q = policy_lib.epsilon_greedy(
                 k_pol, q_values, legal, eps, config.policy_compat
@@ -220,14 +283,17 @@ def make_train_iteration(config: T48Config) -> Callable:
         next_flat = new_env.boards.reshape(batch, cells).astype(jnp.int8)
 
         # ---- replay append (encode-at-insert)
-        transition = replay_lib.Transition(
-            state=flat,
-            action=actions,
-            reward=reward.astype(jnp.float32),
-            next_state=next_flat,
-            done=done_pre,
-        )
-        replay = replay_lib.add_batch(state.replay, transition)
+        if with_replay:
+            transition = replay_lib.Transition(
+                state=flat,
+                action=actions,
+                reward=reward.astype(jnp.float32),
+                next_state=next_flat,
+                done=done_pre,
+            )
+            replay = replay_lib.add_step(state.replay, transition)
+        else:
+            replay = state.replay
 
         # ---- per-episode accumulators (means logged at episode end)
         ep_reward_sum = state.ep_reward_sum + reward.astype(jnp.float32)
@@ -240,16 +306,17 @@ def make_train_iteration(config: T48Config) -> Callable:
         slot = jnp.where(done, (state.log.ptr + rank) % log_size, log_size)
         steps_f = jnp.maximum(new_env.step_counts.astype(jnp.float32), 1.0)
         log = state.log
-        log = log.replace(
-            max_tile=log.max_tile.at[slot].set(engine.max_tile(new_env.boards)),
-            merge_score=log.merge_score.at[slot].set(new_env.merge_scores),
-            number=log.number.at[slot].set(state.episodes_done + rank),
-            reward=log.reward.at[slot].set(ep_reward_sum / steps_f),
-            q_value=log.q_value.at[slot].set(ep_q_sum / steps_f),
-            epsilon=log.epsilon.at[slot].set(jnp.full((batch,), eps)),
-            number_moves=log.number_moves.at[slot].set(new_env.step_counts),
-            ptr=log.ptr + n_done,
-        )
+        if with_log:
+            log = log.replace(
+                max_tile=log.max_tile.at[slot].set(engine.max_tile(new_env.boards)),
+                merge_score=log.merge_score.at[slot].set(new_env.merge_scores),
+                number=log.number.at[slot].set(state.episodes_done + rank),
+                reward=log.reward.at[slot].set(ep_reward_sum / steps_f),
+                q_value=log.q_value.at[slot].set(ep_q_sum / steps_f),
+                epsilon=log.epsilon.at[slot].set(jnp.full((batch,), eps)),
+                number_moves=log.number_moves.at[slot].set(new_env.step_counts),
+                ptr=log.ptr + n_done,
+            )
         episodes_done = state.episodes_done + n_done
 
         # ---- reset finished envs, zero their accumulators
@@ -258,43 +325,53 @@ def make_train_iteration(config: T48Config) -> Callable:
         ep_q_sum = jnp.where(done, 0.0, ep_q_sum)
 
         # ---- learner: once per completed episode past the warmup gate
-        should_train = (
-            (episodes_done > config.no_episodes_before_training)
-            & (episodes_done > state.last_train_episodes)
-            & (replay.fill > 0)
-        )
+        if with_learner:
+            should_train = (
+                (episodes_done > config.no_episodes_before_training)
+                & (episodes_done > state.last_train_episodes)
+                & (replay.fill > 0)
+            )
 
-        def do_train(args):
-            params, target_params, opt_state, _ = args
-            sampled = replay_lib.sample(replay, k_sample, config.batch_size)
-            out = train_step(params, target_params, opt_state, sampled)
-            return out.params, target_params, out.opt_state, out.loss
+            def do_train(args):
+                params, target_params, opt_state, _ = args
+                sampled = replay_lib.sample(replay, k_sample, config.batch_size)
+                out = train_step(params, target_params, opt_state, sampled)
+                return out.params, target_params, out.opt_state, out.loss
 
-        params, target_params, opt_state, loss = jax.lax.cond(
-            should_train,
-            do_train,
-            lambda args: args,
-            (state.params, state.target_params, state.opt_state, state.last_loss),
-        )
-        train_steps = state.train_steps + should_train.astype(jnp.int32)
-        last_train_episodes = jnp.where(
-            should_train, episodes_done, state.last_train_episodes
-        )
+            params, target_params, opt_state, loss = jax.lax.cond(
+                should_train,
+                do_train,
+                lambda args: args,
+                (state.params, state.target_params, state.opt_state,
+                 state.last_loss),
+            )
+            train_steps = state.train_steps + should_train.astype(jnp.int32)
+            last_train_episodes = jnp.where(
+                should_train, episodes_done, state.last_train_episodes
+            )
 
-        # ---- hard target sync on crossing each sync-period multiple
-        sync_every = config.no_episodes_before_updating_target
-        should_sync = (episodes_done // sync_every) > (
-            state.last_sync_episodes // sync_every
-        )
-        target_params = jax.lax.cond(
-            should_sync,
-            lambda _: params,
-            lambda _: target_params,
-            None,
-        )
-        last_sync_episodes = jnp.where(
-            should_sync, episodes_done, state.last_sync_episodes
-        )
+            # ---- hard target sync on crossing each sync-period multiple
+            sync_every = config.no_episodes_before_updating_target
+            should_sync = (episodes_done // sync_every) > (
+                state.last_sync_episodes // sync_every
+            )
+            target_params = jax.lax.cond(
+                should_sync,
+                lambda _: params,
+                lambda _: target_params,
+                None,
+            )
+            last_sync_episodes = jnp.where(
+                should_sync, episodes_done, state.last_sync_episodes
+            )
+        else:
+            params, target_params, opt_state = (
+                state.params, state.target_params, state.opt_state
+            )
+            loss = state.last_loss
+            train_steps = state.train_steps
+            last_train_episodes = state.last_train_episodes
+            last_sync_episodes = state.last_sync_episodes
 
         new_state = TrainState(
             params=params,
@@ -324,10 +401,11 @@ def make_train_iteration(config: T48Config) -> Callable:
     return iteration
 
 
-def make_train_chunk(config: T48Config) -> Callable:
+def make_train_chunk(config: T48Config, **ablation_flags) -> Callable:
     """Jitted ``chunk(state) -> (state, SnapshotStream[T])`` running
-    ``config.chunk_iters`` iterations under ``lax.scan``."""
-    iteration = make_train_iteration(config)
+    ``config.chunk_iters`` iterations under ``lax.scan``. Keyword flags
+    pass through to ``make_train_iteration`` (bench ablations only)."""
+    iteration = make_train_iteration(config, **ablation_flags)
 
     @jax.jit
     def chunk(state: TrainState):
@@ -341,9 +419,10 @@ def make_train_chunk(config: T48Config) -> Callable:
 def drain_episode_log(prev_ptr: int, log: EpisodeLog, log_size: int):
     """Host-side: extract episode dicts written since ``prev_ptr``.
 
-    Returns (episodes list in completion order, new_ptr). If more than
-    ``log_size`` episodes completed in one chunk the oldest overflow
-    entries are dropped (sized so this never happens at default configs).
+    Returns (episodes list in completion order, new_ptr, dropped).
+    ``dropped`` counts overflow entries; with the ring sized by
+    ``effective_log_size`` this is provably always 0 when draining once
+    per chunk (the trainer asserts it).
     """
     new_ptr = int(log.ptr)
     count = new_ptr - prev_ptr

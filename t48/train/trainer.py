@@ -12,6 +12,7 @@ every 1000 episodes (dqn_lib.py:229-231) and saves on interrupt/exception
 
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional
 
@@ -25,6 +26,31 @@ from t48.train import loop as loop_lib
 from t48.utils.tracing import ThroughputMeter
 
 _ACTION_CHARS = ["u", "d", "l", "r"]
+
+
+class NullExperiment:
+    """No-op experiment for non-coordinator processes on a multi-host
+    slice: every artifact write (job folder, metrics, snapshots,
+    checkpoint) is gated to ``jax.process_index() == 0``; the other hosts
+    run the same device program against this shim."""
+
+    folder = "<non-coordinator>"
+    checkpoint_path = "<non-coordinator>"
+
+    def add_hyperparameter(self, mapping: dict) -> None:
+        pass
+
+    def add_episodes(self, episodes) -> None:
+        pass
+
+    def snapshot_game(self, board_history, episode: int) -> None:
+        pass
+
+    def save(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
 
 
 class SnapshotAssembler:
@@ -81,7 +107,7 @@ def seed_replay_from_search(state, config: T48Config):
     )
     from t48.replay import buffer as replay_lib
 
-    replay = replay_lib.add_batch(state.replay, transitions)
+    replay = replay_lib.add_many(state.replay, transitions)
     return state.replace(replay=replay)
 
 
@@ -98,39 +124,70 @@ def train(
 
     ``data_parallel``: shard envs/replay over this many devices on a
     'data' mesh (0 = all visible devices; None = single-device). On a
-    multi-host slice call ``t48.distrib.init_distributed()`` first.
+    multi-host slice call ``t48.distrib.init_distributed()`` first; all
+    artifact writes are then gated to process 0 (assumes the job dir is
+    on a filesystem process 0 can write and — for resume — all processes
+    can read, the standard TPU-pod arrangement).
     """
-    experiment = Experiment(
-        root_dir=root_dir, folder_name=job_name, resumed=resume, config=config
-    )
-    experiment.add_hyperparameter(config.hyperparams_dict())
+    coordinator = jax.process_index() == 0
+    verbose = verbose and coordinator
+    if coordinator:
+        experiment = Experiment(
+            root_dir=root_dir, folder_name=job_name, resumed=resume, config=config
+        )
+        experiment.add_hyperparameter(config.hyperparams_dict())
+    else:
+        experiment = NullExperiment()
 
-    state = loop_lib.create_train_state(config)
+    mesh = None
+    if data_parallel is not None:
+        from t48.distrib import make_mesh
+
+        n = data_parallel if data_parallel > 0 else len(jax.devices())
+        if config.env_batch % n:
+            raise ValueError(
+                f"env_batch ({config.env_batch}) must be divisible by the "
+                f"data-parallel degree {n} (the replay buffer shards with "
+                "the envs: one sub-ring per env)"
+            )
+        mesh = make_mesh(n_data=n)
+
     if resume:
-        state = restore_checkpoint(experiment.checkpoint_path, state)
+        # every process restores the host-global checkpoint, then places
+        # only its own shards (make_array_from_callback inside
+        # distribute_train_state) — multi-host-safe
+        ckpt_path = os.path.join(
+            root_dir, job_name, "binary/checkpoint.npz"
+        ) if not coordinator else experiment.checkpoint_path
+        state = restore_checkpoint(
+            ckpt_path, loop_lib.create_train_state(config)
+        )
+        if mesh is not None:
+            from t48.distrib import distribute_train_state
+
+            state = distribute_train_state(state, mesh, config)
     elif config.use_astar_seed:
         if verbose:
             print(f"Seeding replay buffer from {config.astar_games} search games...")
+        # the seed is deterministic in config.seed, so every process
+        # computes identical transitions; placement happens after
+        state = loop_lib.create_train_state(config)
         state = seed_replay_from_search(state, config)
         if verbose:
-            print(f"Replay seeded with {int(state.replay.fill)} transitions")
+            print(f"Replay seeded with {int(state.replay.total_fill)} transitions")
+        if mesh is not None:
+            from t48.distrib import distribute_train_state
 
-    if data_parallel is not None:
-        import jax as _jax
-
-        from t48.distrib import distribute_train_state, make_mesh
-
-        n = data_parallel if data_parallel > 0 else len(_jax.devices())
-        if config.env_batch % n or config.replay_buffer_length % n:
-            raise ValueError(
-                f"env_batch ({config.env_batch}) and replay_buffer_length "
-                f"({config.replay_buffer_length}) must divide the data-parallel "
-                f"degree {n}"
-            )
-        mesh = make_mesh(n_data=n)
-        state = distribute_train_state(state, mesh, config)
-        if verbose:
-            print(f"Distributed over {n}-device data mesh")
+            state = distribute_train_state(state, mesh, config)
+    else:
+        # fresh start: process-local construction — each device
+        # materializes its own shards directly from the jitted init
+        state = loop_lib.create_train_state(config, mesh=mesh)
+    if mesh is not None and verbose:
+        print(
+            f"Distributed over {mesh.shape['data']}-device data mesh "
+            f"({jax.process_count()} process(es))"
+        )
 
     chunk = loop_lib.make_train_chunk(config)
     assembler = SnapshotAssembler(
@@ -141,26 +198,40 @@ def train(
     )
 
     log_ptr = int(state.log.ptr)
+    log_size = loop_lib.effective_log_size(config)
     target_episodes = max_episodes if max_episodes is not None else config.no_episodes
     last_save = int(state.episodes_done)
     last_print = int(state.episodes_done)
     meter = ThroughputMeter()
     meter.update(int(state.env_steps), int(state.episodes_done))
 
+    multiprocess = jax.process_count() > 1
+
     def _save_all():
-        experiment.save()
-        save_checkpoint(experiment.checkpoint_path, state)
+        # the gather is a collective — every process must run it before
+        # process 0 writes the checkpoint
+        ckpt_state = state
+        if mesh is not None and multiprocess:
+            from t48.distrib import fully_replicated
+
+            ckpt_state = fully_replicated(state, mesh)
+        if coordinator:
+            experiment.save()
+            save_checkpoint(experiment.checkpoint_path, ckpt_state)
 
     try:
         while int(state.episodes_done) < target_episodes:
             state, snapshot = chunk(state)
-            episodes, log_ptr, dropped = loop_lib.drain_episode_log(
-                log_ptr, state.log, config.episode_log_size
-            )
-            if dropped and verbose:
-                print(f"warning: episode log overflow, dropped {dropped}")
-            experiment.add_episodes(episodes)
-            assembler.feed(snapshot)
+            episodes = []
+            if coordinator:
+                episodes, log_ptr, dropped = loop_lib.drain_episode_log(
+                    log_ptr, state.log, log_size
+                )
+                # impossible by construction: the ring is sized to the
+                # provable per-chunk bound (loop.effective_log_size)
+                assert dropped == 0, f"episode log overflow: dropped {dropped}"
+                experiment.add_episodes(episodes)
+                assembler.feed(snapshot)
 
             if config.debug_invariants:
                 from t48.utils.debug import assert_env_invariants
@@ -200,4 +271,6 @@ def train(
         _save_all()
         print(f"\nSaving current experiment in {experiment.folder}\n")
         raise
+    finally:
+        experiment.close()
     return state, experiment

@@ -96,25 +96,26 @@ class TestReplayBuffer:
         )
 
     def test_insert_and_fill(self):
+        # env_batch=1: one ring, exact reference deque semantics
         rs = buffer.create(capacity=10)
-        rs = buffer.add_batch(rs, self._tr(4, base=1))
+        rs = buffer.add_many(rs, self._tr(4, base=1))
         assert int(rs.fill) == 4 and int(rs.ptr) == 4
-        rs = buffer.add_batch(rs, self._tr(4, base=2))
+        rs = buffer.add_many(rs, self._tr(4, base=2))
         assert int(rs.fill) == 8 and int(rs.ptr) == 8
 
     def test_circular_eviction(self):
         """At capacity the oldest entries are overwritten, like a deque
         with maxlen (dqn_lib.py:172)."""
         rs = buffer.create(capacity=6)
-        rs = buffer.add_batch(rs, self._tr(4, base=1))
-        rs = buffer.add_batch(rs, self._tr(4, base=2))  # wraps: slots 4,5,0,1
+        rs = buffer.add_many(rs, self._tr(4, base=1))
+        rs = buffer.add_many(rs, self._tr(4, base=2))  # wraps: slots 4,5,0,1
         assert int(rs.fill) == 6 and int(rs.ptr) == 2
-        rewards = np.asarray(rs.reward)
+        rewards = np.asarray(rs.reward)[0]
         assert list(rewards) == [2.0, 2.0, 1.0, 1.0, 2.0, 2.0]
 
     def test_sampling_respects_fill(self):
         rs = buffer.create(capacity=100)
-        rs = buffer.add_batch(rs, self._tr(5, base=3))
+        rs = buffer.add_many(rs, self._tr(5, base=3))
         batch = buffer.sample(rs, jax.random.PRNGKey(0), 64)
         assert (np.asarray(batch.reward) == 3.0).all()
         assert batch.state.shape == (64, 16)
@@ -123,10 +124,52 @@ class TestReplayBuffer:
         rs = buffer.create(capacity=8)
         for i in range(8):
             tr = self._tr(1, base=i)
-            rs = buffer.add_batch(rs, tr)
+            rs = buffer.add_many(rs, tr)
         batch = buffer.sample(rs, jax.random.PRNGKey(1), 8000)
         counts = np.bincount(np.asarray(batch.reward).astype(int), minlength=8)
         assert (np.abs(counts / 8000 - 1 / 8) < 0.03).all()
+
+    def test_per_env_rings(self):
+        """env_batch>1: each env owns a sub-ring; lockstep add_step writes
+        one transition per ring; sampling is stratified per env."""
+        rs = buffer.create(capacity=16, env_batch=4)
+        assert rs.per_env_capacity == 4 and rs.capacity == 16
+        for step in range(3):
+            tr = buffer.Transition(
+                state=jnp.full((4, 16), step, jnp.int8),
+                action=jnp.full((4,), step % 4, jnp.int32),
+                reward=jnp.arange(4, dtype=jnp.float32) * 10 + step,
+                next_state=jnp.full((4, 16), step + 1, jnp.int8),
+                done=jnp.zeros((4,), bool),
+            )
+            rs = buffer.add_step(rs, tr)
+        assert int(rs.fill) == 3 and int(rs.ptr) == 3
+        assert int(rs.total_fill) == 12
+        # env e's ring holds only its own rewards (10e, 10e+1, 10e+2)
+        rewards = np.asarray(rs.reward)
+        for e in range(4):
+            assert set(rewards[e, :3]) == {10 * e, 10 * e + 1, 10 * e + 2}
+        # stratified sample: 8 draws → 2 per env, all from that env's ring
+        batch = buffer.sample(rs, jax.random.PRNGKey(0), 8)
+        r = np.asarray(batch.reward).reshape(4, 2)
+        for e in range(4):
+            assert (r[e] // 10 == e).all()
+
+    def test_add_many_pads_by_cycling(self):
+        """Bulk seed of T % B != 0 transitions pads by cycling from the
+        start so every ring stays balanced."""
+        rs = buffer.create(capacity=20, env_batch=4)
+        rs = buffer.add_many(rs, self._tr(6, base=1))  # 6 → 2 steps of 4
+        assert int(rs.fill) == 2
+        assert int(rs.total_fill) == 8
+        # capacity rounds up: ceil(20/4)=5 per env
+        assert rs.per_env_capacity == 5
+
+    def test_effective_sample_rounding(self):
+        assert buffer.sample_rows(5000, 1) == 5000
+        assert buffer.sample_rows(5000, 1024) == 5
+        assert buffer.sample_rows(32, 8) == 4
+        assert buffer.sample_rows(2, 8) == 1  # floor at 1 per env
 
 
 class TestLearner:
@@ -229,12 +272,3 @@ class TestLearner:
         ):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
-    def test_target_sync(self):
-        net, encode, params, target_params, opt, opt_state, step = self._setup()
-        out = jax.jit(step)(params, target_params, opt_state, self._batch(8))
-        synced = learner.sync_target(out.params)
-        for a, b in zip(
-            jax.tree_util.tree_leaves(synced),
-            jax.tree_util.tree_leaves(out.params),
-        ):
-            assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -95,7 +95,7 @@ class TestSeeding:
         tr = generate_replay_transitions(games=1, max_expansions=200, seed=3,
                                          goal_tile=32)
         rs = replay_lib.create(1000)
-        rs = replay_lib.add_batch(rs, tr)
+        rs = replay_lib.add_many(rs, tr)
         assert int(rs.fill) == tr.action.shape[0]
         batch = replay_lib.sample(rs, jax.random.PRNGKey(0), 16)
         assert batch.state.shape == (16, 16)

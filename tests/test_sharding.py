@@ -66,6 +66,24 @@ class TestMesh:
         assert boards_sharding.spec == P("data")
         assert len(boards_sharding.device_set) == 8
 
+    def test_process_local_init_matches_distribute(self, mesh):
+        """create_train_state(mesh=…) builds shards in place via jitted
+        out_shardings (the multi-host-safe construction) and must produce
+        exactly the state that host-side create + distribute produces."""
+        cfg = tiny_config()
+        direct = loop_lib.create_train_state(cfg, mesh=mesh)
+        placed = distribute_train_state(
+            loop_lib.create_train_state(cfg), mesh, cfg
+        )
+        assert direct.env.boards.sharding.spec == P("data")
+        assert direct.replay.state.sharding.spec == P("data")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(direct), jax.tree_util.tree_leaves(placed)
+        ):
+            assert np.array_equal(
+                np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))
+            )
+
 
 class TestShardedTraining:
     def test_chunk_runs_spmd(self, mesh):
@@ -111,6 +129,60 @@ class TestShardedTraining:
                 np.asarray(a), np.asarray(jax.device_get(b)), rtol=1e-4, atol=1e-5
             )
 
+    def test_no_transition_collectives_in_hlo(self, mesh):
+        """Per-env replay rings + stratified sampling keep transitions
+        shard-local: the compiled SPMD train chunk must contain NO
+        all-to-all and no all-gather bigger than a per-env metrics row —
+        the parameter-gradient all-reduce (psum) is the only large
+        collective (SURVEY.md §7 'Replay at scale', mesh.py design note).
+        """
+        import re
+
+        cfg = tiny_config(chunk_iters=4)
+        state = distribute_train_state(
+            loop_lib.create_train_state(cfg), mesh, cfg
+        )
+        chunk = loop_lib.make_train_chunk(cfg)
+        txt = chunk.lower(state).compile().as_text()
+
+        assert "all-to-all" not in txt
+
+        dtype_bytes = {"s8": 1, "u8": 1, "pred": 1, "bf16": 2, "f16": 2,
+                       "s16": 2, "u16": 2, "f32": 4, "s32": 4, "u32": 4,
+                       "f64": 8, "s64": 8, "u64": 8}
+
+        def op_bytes(line):
+            m = re.search(r"= (\w+)\[([\d,]*)\][^ ]* ", line)
+            if not m:
+                return 0
+            dt, dims = m.groups()
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            return n * dtype_bytes.get(dt, 4)
+
+        # every all-gather is a per-env metric/log row: ≤ env_batch
+        # elements of ≤4 bytes (the episode-ring scatter) — never a
+        # sampled-transition batch (which would be ≥ batch_size*16 bytes)
+        ag_limit = cfg.env_batch * 4
+        for line in txt.splitlines():
+            if "all-gather(" in line and "=" in line:
+                assert op_bytes(line) <= ag_limit, line.strip()[:200]
+
+        # the gradient psum over the params IS present (512x512 kernel)
+        ar_sizes = [
+            op_bytes(line)
+            for line in txt.splitlines()
+            if re.search(r"= \(?\w+\[[\d,]*\][^ ]* all-reduce\(", line)
+            or ("all-reduce(" in line and "= (" in line)
+        ]
+        assert any(s >= 512 * 512 * 4 for s in ar_sizes) or any(
+            "512,512" in line
+            for line in txt.splitlines()
+            if "all-reduce" in line
+        )
+
     def test_scales_to_larger_batch(self, mesh):
         cfg = tiny_config(env_batch=64)
         state = distribute_train_state(
@@ -119,3 +191,25 @@ class TestShardedTraining:
         chunk = loop_lib.make_train_chunk(cfg)
         state, _ = chunk(state)
         assert int(state.env_steps) == cfg.chunk_iters * 64
+
+    def test_resume_under_mesh(self, mesh, tmp_path):
+        """--resume --data-parallel: restore on the host, re-place on the
+        mesh (make_array_from_callback), continue training."""
+        from t48.train.trainer import train
+
+        cfg = tiny_config(no_episodes=12)
+        s1, exp1 = train(
+            cfg, root_dir=str(tmp_path), job_name="dpresume",
+            verbose=False, data_parallel=8,
+        )
+        done1 = int(s1.episodes_done)
+        assert done1 >= 12
+        s2, _ = train(
+            cfg.replace(no_episodes=done1 + 12),
+            root_dir=str(tmp_path), job_name="dpresume",
+            resume=True, verbose=False, data_parallel=8,
+        )
+        assert int(s2.episodes_done) >= done1 + 12
+        assert s2.env.boards.sharding.spec == P("data")
+        # counters continued, not restarted
+        assert int(s2.env_steps) > int(s1.env_steps)

@@ -73,7 +73,7 @@ class TestTrainChunk:
         state, _ = chunk(state)
         state, _ = chunk(state)
         episodes, ptr, dropped = loop_lib.drain_episode_log(
-            0, state.log, cfg.episode_log_size
+            0, state.log, loop_lib.effective_log_size(cfg)
         )
         assert dropped == 0
         assert len(episodes) == int(state.episodes_done)
@@ -89,6 +89,37 @@ class TestTrainChunk:
             assert ep["merge_score"] >= 0
             assert ep["number_moves"] > 0
             assert 0.0 <= ep["epsilon"] <= 1.0
+
+    def test_log_ring_autosizes_against_overflow(self):
+        """A deliberately tiny configured ring is raised to the provable
+        per-chunk completion bound, so no episode is ever dropped —
+        even with ε=0 greedy play completing episodes at max rate."""
+        cfg = tiny_config(
+            episode_log_size=1,  # absurdly small on purpose
+            chunk_iters=128,
+            env_batch=8,
+            min_epsilon=0.0,
+            no_episodes_to_reach_epsilon=1,
+        )
+        eff = loop_lib.effective_log_size(cfg)
+        min_len = cfg.board_k * cfg.board_k - 2
+        assert eff == cfg.env_batch * (1 + (cfg.chunk_iters - 1) // min_len)
+        state = loop_lib.create_train_state(cfg)
+        assert state.log.max_tile.shape[0] == eff + 1
+        chunk = loop_lib.make_train_chunk(cfg)
+        ptr = 0
+        total = 0
+        for _ in range(4):
+            state, _ = chunk(state)
+            episodes, ptr, dropped = loop_lib.drain_episode_log(
+                ptr, state.log, eff
+            )
+            assert dropped == 0
+            total += len(episodes)
+        assert total == int(state.episodes_done)
+        # the bound is tight enough to be meaningful: every episode took
+        # at least K*K-2 env steps
+        assert total <= 4 * eff
 
     def test_no_training_before_gate(self):
         cfg = tiny_config(no_episodes_before_training=10_000)
@@ -122,15 +153,16 @@ class TestTrainChunk:
         state = loop_lib.create_train_state(cfg)
         chunk = loop_lib.make_train_chunk(cfg)
         state, _ = chunk(state)
-        fill = int(state.replay.fill)
-        s = np.asarray(state.replay.state[:fill])
-        a = np.asarray(state.replay.action[:fill])
-        r = np.asarray(state.replay.reward[:fill])
+        fill = int(state.replay.fill)  # per-env fill (lockstep inserts)
+        assert fill == min(cfg.chunk_iters, state.replay.per_env_capacity)
+        s = np.asarray(state.replay.state[:, :fill]).reshape(-1, 16)
+        a = np.asarray(state.replay.action[:, :fill]).reshape(-1)
+        r = np.asarray(state.replay.reward[:, :fill]).reshape(-1)
         assert ((a >= 0) & (a < 4)).all()
         assert (s >= 0).all() and (s <= 16).all()
         assert (r >= 0).all()  # merge-score deltas are non-negative
         # a no-op/illegal step stores state == next_state
-        ns = np.asarray(state.replay.next_state[:fill])
+        ns = np.asarray(state.replay.next_state[:, :fill]).reshape(-1, 16)
         changed = (s != ns).any(axis=1)
         moved_rewards = r[changed]
         assert (moved_rewards >= 0).all()
