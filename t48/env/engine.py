@@ -208,6 +208,124 @@ def peek_cells(cells, k: int):
     return dir_cells, deltas, changed
 
 
+def _legal_line(line):
+    """(movable_front, movable_back) bool masks for one k-cell line.
+
+    A move toward the line's front is legal iff the line has an adjacent
+    equal non-zero pair, or a zero somewhere in front of a non-zero (a
+    tile can slide); symmetrically for the back. Exactly "applying the
+    move changes the line" (board.py:128-135 semantics) without running
+    the merge network — pinned against the merge kernel exhaustively in
+    tests/test_engine.py.
+    """
+    k = len(line)
+    nz = [c != 0 for c in line]
+    pair = jnp.zeros_like(nz[0])
+    for i in range(k - 1):
+        pair = pair | (nz[i] & (line[i] == line[i + 1]))
+    # suffix[i] = any non-zero at j > i;  prefix[i] = any non-zero at j < i
+    front = pair
+    suffix = jnp.zeros_like(nz[0])
+    for i in reversed(range(k - 1)):
+        suffix = suffix | nz[i + 1]
+        front = front | (~nz[i] & suffix)
+    back = pair
+    prefix = jnp.zeros_like(nz[0])
+    for i in range(1, k):
+        prefix = prefix | nz[i - 1]
+        back = back | (~nz[i] & prefix)
+    return front, back
+
+
+def legal_cells(cells, k: int):
+    """Legality bool [B] masks for all four directions, straight from the
+    board — no merge networks (~4× less work than ``peek_cells`` when
+    only legality is needed). Order: up, down, left, right."""
+    legal = [None] * 4
+    for j in range(k):  # columns → up/down
+        up, down = _legal_line([cells[r * k + j] for r in range(k)])
+        legal[UP] = up if legal[UP] is None else (legal[UP] | up)
+        legal[DOWN] = down if legal[DOWN] is None else (legal[DOWN] | down)
+    for r in range(k):  # rows → left/right
+        left, right = _legal_line([cells[r * k + j] for j in range(k)])
+        legal[LEFT] = left if legal[LEFT] is None else (legal[LEFT] | left)
+        legal[RIGHT] = (
+            right if legal[RIGHT] is None else (legal[RIGHT] | right)
+        )
+    return legal
+
+
+def _merge_lanes_fast(v):
+    """Merge toward the front with the short post-merge compress: after a
+    full compress, a merge pass can only open single-width, non-adjacent
+    gaps (a merge at i zeroes i+1 and two merges cannot be adjacent), and
+    for k=4 one left-to-right conditional-shift pass over i=1,2 closes
+    every such gap. k=4 only (callers fall back to ``_merge_lanes``
+    otherwise); exhaustively pinned against ``_merge_lanes`` in
+    tests/test_engine.py. Returns (merged, score) — no changed mask.
+    """
+    k = len(v)
+    assert k == 4, "fast compress proof is k=4-specific"
+    v = _compress(list(v))
+    score = jnp.zeros(v[0].shape, jnp.int32)
+    one = jnp.int32(1)
+    for i in range(k - 1):
+        m = (v[i] != 0) & (v[i] == v[i + 1])
+        v[i] = jnp.where(m, v[i] + 1, v[i])
+        v[i + 1] = jnp.where(m, 0, v[i + 1])
+        score = score + jnp.where(
+            m, jnp.left_shift(one, v[i].astype(jnp.int32)), 0
+        )
+    for i in range(1, k - 1):
+        z = v[i] == 0
+        v[i] = jnp.where(z, v[i + 1], v[i])
+        v[i + 1] = jnp.where(z, jnp.zeros_like(v[i + 1]), v[i + 1])
+    return v, score
+
+
+def apply_chosen_cells(cells, actions: jax.Array, k: int):
+    """Merge only each board's CHOSEN direction (vs ``peek_cells``, which
+    merges all four and discards three): gather every board's lines into
+    canonical toward-the-front order with per-lane selects, run the merge
+    network once, scatter back. Returns (new_cells, delta). The legality
+    the policy needs comes from ``legal_cells``."""
+    a_up = actions == UP
+    a_left = actions == LEFT
+    a_vert = actions <= DOWN
+    merge = _merge_lanes_fast if k == 4 else (
+        lambda line: _merge_lanes(line)[:2]
+    )
+
+    def pick(up_i, down_i, left_i, right_i):
+        vert = jnp.where(a_up, cells[up_i], cells[down_i])
+        horz = jnp.where(a_left, cells[left_i], cells[right_i])
+        return jnp.where(a_vert, vert, horz)
+
+    merged = [None] * k
+    delta = None
+    for j in range(k):
+        line = [
+            pick(
+                i * k + j,            # up: column j top→bottom
+                (k - 1 - i) * k + j,  # down: column j bottom→top
+                j * k + i,            # left: row j left→right
+                j * k + (k - 1 - i),  # right: row j right→left
+            )
+            for i in range(k)
+        ]
+        m, s = merge(line)
+        merged[j] = m
+        delta = s if delta is None else delta + s
+
+    out = []
+    for r in range(k):
+        for c in range(k):
+            vert = jnp.where(a_up, merged[c][r], merged[c][k - 1 - r])
+            horz = jnp.where(a_left, merged[r][c], merged[r][k - 1 - c])
+            out.append(jnp.where(a_vert, vert, horz))
+    return out, delta
+
+
 def select_cells(dir_cells, actions: jax.Array):
     """Per-env action select over the four merged boards, cell by cell —
     three selects per cell instead of materializing [B, 4, K, K] and
@@ -282,8 +400,11 @@ def env_step(
     """One fused lockstep env step for all B envs.
 
     ``policy_fn(key, boards, legal) -> (actions, aux)`` is evaluated
-    between the legality computation and the move select, so the merges
-    are computed once and never materialized as a [B, 4, K, K] tensor.
+    between the legality computation and the move apply. Two VPU-economy
+    moves ported back from the Pallas kernel (t48/ops/pallas_step.py):
+    legality comes from direct hole/pair line scans (``legal_cells``, no
+    merge networks), and only the *chosen* direction is merged
+    (``apply_chosen_cells``) — vs the previous all-four-merges + select.
 
     Returns (new_state, actions, reward int32[B], done_pre bool[B],
     legal bool[B, 4], aux) — ``done_pre`` is the reference's pre-action
@@ -293,19 +414,17 @@ def env_step(
     k = state.boards.shape[-1]
     k_policy, k_spawn = jax.random.split(key)
     cells = split_cells(state.boards)
-    dir_cells, deltas, changed = peek_cells(cells, k)
-    legal = jnp.stack(changed, axis=-1)
+    legal_list = legal_cells(cells, k)
+    legal = jnp.stack(legal_list, axis=-1)
     done_pre = ~legal.any(-1)
 
     actions, aux = policy_fn(k_policy, state.boards, legal)
 
-    sel_cells = select_cells(dir_cells, actions)
-    sel_delta = _select_lane(deltas, actions)
-    did_move = _select_lane(changed, actions)
+    sel_cells, sel_delta = apply_chosen_cells(cells, actions, k)
+    did_move = _select_lane(legal_list, actions)
     spawned = _spawn_cells(sel_cells, did_move, k_spawn, p_four)
-    orig_cells = cells
     new_cells = [
-        jnp.where(did_move, s, o) for s, o in zip(spawned, orig_cells)
+        jnp.where(did_move, s, o) for s, o in zip(spawned, cells)
     ]
     reward = jnp.where(did_move, sel_delta, 0)
     new_state = EnvState(

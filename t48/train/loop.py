@@ -60,20 +60,24 @@ from t48.train.schedules import epsilon_schedule
 class EpisodeLog:
     """Fixed-size on-device ring of completed-episode metrics.
 
-    Arrays have ``size + 1`` slots; the last slot is a write sink for
-    non-completed envs so the scatter stays shape-static. ``ptr`` is the
-    monotonic count of episodes ever logged; live entries are
+    One packed ``int32[size + 1, 7]`` array — columns are (max_tile,
+    merge_score, number, reward_bits, q_value_bits, epsilon_bits,
+    number_moves), with the three float metrics stored as bitcast int32 —
+    so logging an iteration's completions is ONE row scatter instead of
+    seven. The last slot is a write sink for non-completed envs so the
+    scatter stays shape-static. ``ptr`` is the monotonic count of
+    episodes ever logged; live entries are
     ``[(ptr - k) % size for k in 1..min(ptr, size)]``.
     """
 
-    max_tile: jax.Array  # int32[E+1]
-    merge_score: jax.Array  # int32[E+1]
-    number: jax.Array  # int32[E+1]  episode index
-    reward: jax.Array  # f32[E+1]   per-step mean reward
-    q_value: jax.Array  # f32[E+1]  per-step mean max-Q
-    epsilon: jax.Array  # f32[E+1]
-    number_moves: jax.Array  # int32[E+1]
+    data: jax.Array  # int32[E+1, 7] packed metric rows
     ptr: jax.Array  # int32 scalar, monotonic
+
+
+# packed column order (shared by the writer below and the host drain)
+_LOG_COLS = ("max_tile", "merge_score", "number", "reward", "q_value",
+             "epsilon", "number_moves")
+_LOG_FLOAT_COLS = (3, 4, 5)  # reward, q_value, epsilon — bitcast f32
 
 
 def effective_log_size(config: T48Config) -> int:
@@ -97,15 +101,8 @@ def effective_log_size(config: T48Config) -> int:
 
 
 def _create_log(size: int) -> EpisodeLog:
-    z = functools.partial(jnp.zeros, (size + 1,))
     return EpisodeLog(
-        max_tile=z(jnp.int32),
-        merge_score=z(jnp.int32),
-        number=z(jnp.int32),
-        reward=z(jnp.float32),
-        q_value=z(jnp.float32),
-        epsilon=z(jnp.float32),
-        number_moves=z(jnp.int32),
+        data=jnp.zeros((size + 1, len(_LOG_COLS)), jnp.int32),
         ptr=jnp.zeros((), jnp.int32),
     )
 
@@ -307,14 +304,23 @@ def make_train_iteration(
         steps_f = jnp.maximum(new_env.step_counts.astype(jnp.float32), 1.0)
         log = state.log
         if with_log:
+            bits = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+                x.astype(jnp.float32), jnp.int32
+            )
+            payload = jnp.stack(
+                [
+                    engine.max_tile(new_env.boards),
+                    new_env.merge_scores,
+                    state.episodes_done + rank,
+                    bits(ep_reward_sum / steps_f),
+                    bits(ep_q_sum / steps_f),
+                    jnp.broadcast_to(bits(eps), (batch,)),
+                    new_env.step_counts,
+                ],
+                axis=-1,
+            )  # [B, 7] — one scatter for all metrics
             log = log.replace(
-                max_tile=log.max_tile.at[slot].set(engine.max_tile(new_env.boards)),
-                merge_score=log.merge_score.at[slot].set(new_env.merge_scores),
-                number=log.number.at[slot].set(state.episodes_done + rank),
-                reward=log.reward.at[slot].set(ep_reward_sum / steps_f),
-                q_value=log.q_value.at[slot].set(ep_q_sum / steps_f),
-                epsilon=log.epsilon.at[slot].set(jnp.full((batch,), eps)),
-                number_moves=log.number_moves.at[slot].set(new_env.step_counts),
+                data=log.data.at[slot].set(payload),
                 ptr=log.ptr + n_done,
             )
         episodes_done = state.episodes_done + n_done
@@ -424,6 +430,8 @@ def drain_episode_log(prev_ptr: int, log: EpisodeLog, log_size: int):
     ``effective_log_size`` this is provably always 0 when draining once
     per chunk (the trainer asserts it).
     """
+    import numpy as np
+
     new_ptr = int(log.ptr)
     count = new_ptr - prev_ptr
     dropped = max(0, count - log_size)
@@ -432,23 +440,20 @@ def drain_episode_log(prev_ptr: int, log: EpisodeLog, log_size: int):
     idx = [(start + i) % log_size for i in range(count)]
     episodes = []
     if count:
-        mt = jax.device_get(log.max_tile)[idx]
-        ms = jax.device_get(log.merge_score)[idx]
-        num = jax.device_get(log.number)[idx]
-        rw = jax.device_get(log.reward)[idx]
-        qv = jax.device_get(log.q_value)[idx]
-        epn = jax.device_get(log.epsilon)[idx]
-        nm = jax.device_get(log.number_moves)[idx]
+        rows = np.asarray(jax.device_get(log.data))[idx]  # [count, 7] int32
+        floats = np.ascontiguousarray(
+            rows[:, list(_LOG_FLOAT_COLS)]
+        ).view(np.float32)
         for i in range(count):
             episodes.append(
                 {
-                    "max_tile": int(mt[i]),
-                    "merge_score": int(ms[i]),
-                    "number": int(num[i]),
-                    "reward": float(rw[i]),
-                    "q_value": float(qv[i]),
-                    "epsilon": float(epn[i]),
-                    "number_moves": int(nm[i]),
+                    "max_tile": int(rows[i, 0]),
+                    "merge_score": int(rows[i, 1]),
+                    "number": int(rows[i, 2]),
+                    "reward": float(floats[i, 0]),
+                    "q_value": float(floats[i, 1]),
+                    "epsilon": float(floats[i, 2]),
+                    "number_moves": int(rows[i, 6]),
                 }
             )
     return episodes, new_ptr, dropped

@@ -96,6 +96,59 @@ class TestExhaustiveRowEquivalence:
             assert score_j[i] == golden_score, row
 
 
+class TestFastPaths:
+    """The env_step hot path uses direct legality line scans and a
+    merge-of-the-chosen-direction-only network (ported from the Pallas
+    kernel). Pin both against the all-four-merges reference path."""
+
+    def test_legal_line_exhaustive(self):
+        """_legal_line == 'merging changes the line', for every 4-cell
+        line over exponents 0..4 (legality depends only on the
+        zero/equality pattern, fully covered by 5 symbols)."""
+        lines = np.array(list(itertools.product(range(5), repeat=4)), np.int32)
+        cols = [jnp.asarray(lines[:, i]) for i in range(4)]
+        front, back = jax.jit(engine._legal_line)(cols)
+        merged_f, _, changed_f = engine.merge_rows_left(jnp.asarray(lines))
+        merged_b, _, changed_b = engine.merge_rows_left(
+            jnp.asarray(lines[:, ::-1])
+        )
+        assert np.array_equal(np.asarray(front), np.asarray(changed_f))
+        assert np.array_equal(np.asarray(back), np.asarray(changed_b))
+
+    def test_merge_lanes_fast_exhaustive(self):
+        """_merge_lanes_fast == _merge_lanes over every 4-cell line with
+        exponents 0..5 (covers all compaction/merge gap patterns)."""
+        lines = np.array(list(itertools.product(range(6), repeat=4)), np.int32)
+        cols = [jnp.asarray(lines[:, i]) for i in range(4)]
+        fast_v, fast_s = jax.jit(engine._merge_lanes_fast)(cols)
+        ref_v, ref_s, _ = engine._merge_lanes(cols)
+        for a, b in zip(fast_v, ref_v):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert np.array_equal(np.asarray(fast_s), np.asarray(ref_s))
+
+    def test_legal_cells_and_apply_chosen_match_peek(self):
+        """Board-level: legality masks and chosen-direction merges equal
+        the peek_all reference path on random boards, for every action."""
+        key = jax.random.PRNGKey(0)
+        boards = jax.random.randint(key, (512, 4, 4), 0, 6, jnp.int32)
+        moved, deltas, legal_ref = jax.jit(engine.peek_all)(boards)
+        cells = engine.split_cells(boards)
+        legal_fast = jnp.stack(engine.legal_cells(cells, 4), axis=-1)
+        assert np.array_equal(np.asarray(legal_fast), np.asarray(legal_ref))
+        for action in range(4):
+            actions = jnp.full((512,), action, jnp.int32)
+            new_cells, delta = jax.jit(
+                lambda c, a: engine.apply_chosen_cells(c, a, 4)
+            )(cells, actions)
+            got = engine.assemble_cells(new_cells, 4)
+            assert np.array_equal(
+                np.asarray(got), np.asarray(moved[:, action])
+            ), action
+            assert np.array_equal(
+                np.asarray(delta), np.asarray(deltas[:, action])
+            ), action
+
+
 class TestAvailability:
     """Reference legality fixtures (tests/test_game_board.py:30-59)."""
 

@@ -163,9 +163,9 @@ class TestShardedTraining:
             return n * dtype_bytes.get(dt, 4)
 
         # every all-gather is a per-env metric/log row: ≤ env_batch
-        # elements of ≤4 bytes (the episode-ring scatter) — never a
-        # sampled-transition batch (which would be ≥ batch_size*16 bytes)
-        ag_limit = cfg.env_batch * 4
+        # packed 7-column int32 episode-ring rows (loop._LOG_COLS) —
+        # never a sampled-transition batch (≥ batch_size*16 bytes)
+        ag_limit = cfg.env_batch * 4 * 7
         for line in txt.splitlines():
             if "all-gather(" in line and "=" in line:
                 assert op_bytes(line) <= ag_limit, line.strip()[:200]

@@ -105,7 +105,7 @@ class TestTrainChunk:
         min_len = cfg.board_k * cfg.board_k - 2
         assert eff == cfg.env_batch * (1 + (cfg.chunk_iters - 1) // min_len)
         state = loop_lib.create_train_state(cfg)
-        assert state.log.max_tile.shape[0] == eff + 1
+        assert state.log.data.shape[0] == eff + 1
         chunk = loop_lib.make_train_chunk(cfg)
         ptr = 0
         total = 0
