@@ -33,15 +33,27 @@ import optax
 from t48.replay.buffer import Transition
 
 
+def _select_action(q: jax.Array, actions: jax.Array) -> jax.Array:
+    """``q[i, actions[i]]`` as a one-hot masked sum.
+
+    ``take_along_axis`` lowers to a row-serial gather on TPU (~40µs per
+    call at B=4096 on v5e — it dominated the learner update); the one-hot
+    multiply-reduce over the 4-wide action axis is a single VPU fusion
+    and bit-exact (exactly one product is non-zero per row). This is also
+    literally the reference's formulation: a one-hot mask times Q, summed
+    (dqn_lib.py:146-155).
+    """
+    onehot = actions[:, None] == jnp.arange(q.shape[-1])[None, :]
+    return jnp.sum(jnp.where(onehot, q, 0.0), axis=-1)
+
+
 def double_dqn_targets(apply_fn, params, target_params, encode, batch, discount):
     """y = r + (1−done)·γ·Q_target(s', argmax_a Q_online(s', a))."""
     next_enc = encode(batch.next_state)
     next_q_online = apply_fn(params, next_enc)
     best_next = jnp.argmax(next_q_online, axis=-1)
     next_q_target = apply_fn(target_params, next_enc)
-    next_best_q = jnp.take_along_axis(
-        next_q_target, best_next[:, None], axis=-1
-    )[:, 0]
+    next_best_q = _select_action(next_q_target, best_next)
     not_done = 1.0 - batch.done.astype(jnp.float32)
     return batch.reward + not_done * discount * next_best_q
 
@@ -69,7 +81,7 @@ def td_loss(
         target_fn(apply_fn, params, target_params, encode, batch, discount)
     )
     q_all = apply_fn(params, encode(batch.state))
-    q_taken = jnp.take_along_axis(q_all, batch.action[:, None], axis=-1)[:, 0]
+    q_taken = _select_action(q_all, batch.action)
     return jnp.sum(jnp.square(q_taken - targets))
 
 

@@ -91,12 +91,7 @@ def train_state_shardings(state, mesh: Mesh, config: T48Config):
         return jax.tree_util.tree_map(lambda _: sharding, subtree)
 
     replay_sh = state.replay.replace(
-        **{
-            f: data
-            for f in ("state", "action", "reward", "next_state", "done")
-        },
-        ptr=replicated,
-        fill=replicated,
+        rows=data, ptr=replicated, fill=replicated
     )
     return state.replace(
         params=all_leaves(state.params, replicated),

@@ -37,10 +37,18 @@ def _named_leaves(tree) -> dict:
     return {jax.tree_util.keystr(path): leaf for path, leaf in leaves}
 
 
+def _to_savable(arr: np.ndarray) -> np.ndarray:
+    """npz can't represent bf16 (ml_dtypes saves as raw void bytes);
+    store it widened to exact f32 — restore casts back per the template."""
+    if arr.dtype.name == "bfloat16":
+        return arr.astype(np.float32)
+    return arr
+
+
 def save_checkpoint(path: str, state) -> None:
     """Atomically write ``state`` (any pytree) to ``path`` (.npz)."""
     arrays = {
-        key: np.asarray(jax.device_get(leaf))
+        key: _to_savable(np.asarray(jax.device_get(leaf)))
         for key, leaf in _named_leaves(state).items()
     }
     arrays[_VERSION_KEY] = np.asarray(FORMAT_VERSION, np.int32)
@@ -65,6 +73,19 @@ def _check_shapes(pairs) -> None:
                 f"checkpoint leaf {key} has shape {tuple(got.shape)}, template "
                 f"expects {want_shape} — config mismatch?"
             )
+
+
+def _cast_like(got: np.ndarray, want) -> np.ndarray:
+    """Cast a loaded array to the template leaf's dtype (restores bf16
+    leaves stored widened to f32; a no-op for every matching dtype).
+    Void arrays (an ml_dtypes leaf that went through np.savez raw) are
+    reinterpreted bit-for-bit when the item sizes match."""
+    want_dtype = np.asarray(want).dtype if not hasattr(want, "dtype") else want.dtype
+    if got.dtype == want_dtype:
+        return got
+    if got.dtype.kind == "V" and got.dtype.itemsize == want_dtype.itemsize:
+        return got.view(want_dtype)
+    return got.astype(want_dtype)
 
 
 def restore_checkpoint(path: str, template):
@@ -93,7 +114,9 @@ def restore_checkpoint(path: str, template):
             for p, leaf in keyed
         ]
     _check_shapes(loaded)
-    return jax.tree_util.tree_unflatten(treedef, [g for _, g, _ in loaded])
+    return jax.tree_util.tree_unflatten(
+        treedef, [_cast_like(g, w) for _, g, w in loaded]
+    )
 
 
 def _restore_v1(data, keyed, treedef):
@@ -109,7 +132,9 @@ def _restore_v1(data, keyed, treedef):
         for i, (p, leaf) in enumerate(keyed)
     ]
     _check_shapes(loaded)
-    return jax.tree_util.tree_unflatten(treedef, [g for _, g, _ in loaded])
+    return jax.tree_util.tree_unflatten(
+        treedef, [_cast_like(g, w) for _, g, w in loaded]
+    )
 
 
 def restore_subtree(path: str, template, prefix: str):
@@ -130,4 +155,6 @@ def restore_subtree(path: str, template, prefix: str):
                 )
             loaded.append((key, data[key], leaf))
     _check_shapes(loaded)
-    return jax.tree_util.tree_unflatten(treedef, [g for _, g, _ in loaded])
+    return jax.tree_util.tree_unflatten(
+        treedef, [_cast_like(g, w) for _, g, w in loaded]
+    )

@@ -3,27 +3,47 @@
 The reference keeps a host-side ``collections.deque`` of *Board objects*
 and tensorizes every sampled experience on every train step — two
 host→device transfers per sampled item (dqn_lib.py:106, 33-64). This
-module inverts that: transitions are encoded **once at insert** into
-fixed-size device arrays that live in HBM for the whole run.
+module inverts that: transitions are encoded **once at insert** into a
+fixed-size device array that lives in HBM for the whole run.
 
 Storage layout (B = env batch, M = per-env capacity, S = K*K cells):
 
-  state, next_state : int8[B, M, S]  — log2 exponents (native layout)
-  action            : int8[B, M]
-  reward            : f32[B, M]      — merge-score delta
-  done              : bool[B, M]
-  ptr, fill         : int32          — per-env write head / live count
-                                       (scalar: envs insert in lockstep,
-                                       so every row has the same head)
+  rows      : bf16[B, M, 2S+5] — one packed row per transition:
+              [0:S) state exponents, [S:2S) next_state exponents,
+              [2S] action, [2S+1] done, [2S+2:2S+5) the reward as an
+              exact bf16 triple (see below)
+  ptr, fill : int32 — per-env write head / live count (scalar: envs
+              insert in lockstep, so every row has the same head)
+
+Why one packed row instead of five typed arrays, and why no
+gather/scatter: on TPU, ``dynamic-update-slice`` into a thin minor slice
+and row-gathers (``take_along_axis``) are row-serialized — profiling the
+v5e train chunk showed the five per-field inserts and five per-field
+sample gathers costing ~100µs/iteration combined, dwarfing the actual
+learner math. Instead:
+
+- **insert** is ONE fused elementwise select over the whole buffer
+  (``where(slot == head, new_row, rows)``) — a streaming VPU rewrite at
+  full memory bandwidth;
+- **sampling** is ONE batched one-hot matmul
+  (``einsum('bsm,bmr->bsr', onehot(idx), rows)``) that runs on the MXU
+  with f32 accumulation.
+
+Both are bit-exact. Board exponents (≤ ~60), actions and done flags are
+small integers, exact in bf16. The f32 reward is stored as the classic
+bf16-triple decomposition r = h1 + h2 + h3 (each h_i the bf16 rounding
+of the remaining residual): three nearest-roundings leave residual
+spans of ≤15 and ≤6 mantissa bits, so the triple reconstructs every
+normal f32 exactly, and the one-hot dot selects exactly one non-zero
+term per output so MXU accumulation adds only zeros to it.
 
 Why a leading env axis instead of the flat [N] ring a host deque
-suggests: the leading axis is exactly the ``data`` mesh axis. Every
-insert is ``buffer.at[:, ptr]`` — a dynamic-update-slice that is
-elementwise in the sharded axis, so each device writes its own envs'
-transitions into its own shard with **zero cross-device traffic**. A
-flat ring would scatter every step's B transitions into one contiguous
-window living on a single shard (all-to-one traffic), and global uniform
-sampling from it would all-gather the sampled batch every learner step
+suggests: the leading axis is exactly the ``data`` mesh axis. Inserts
+and per-env sampling are elementwise/batched in that axis, so each
+device touches only its own envs' shard with **zero cross-device
+traffic**. A flat ring would scatter every step's B transitions into one
+contiguous window living on a single shard, and global uniform sampling
+from it would all-gather the sampled batch every learner step
 (SURVEY.md §7 "Replay at scale").
 
 Sampling is **stratified per env**: each env row contributes
@@ -49,6 +69,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+_EXTRA_COLS = 5  # action, done, reward triple
+
 
 class Transition(NamedTuple):
     """A batch of transitions, encoded (exponent boards flattened)."""
@@ -60,33 +82,110 @@ class Transition(NamedTuple):
     done: jax.Array  # bool[B]
 
 
+def _bf16_triple(x: jax.Array):
+    """Exact decomposition f32 → (h1, h2, h3) bf16 with x == (h1+h2)+h3.
+
+    Each step rounds the residual to nearest-bf16 and subtracts (the
+    subtraction is exact in f32 because it cancels the leading bits).
+    After two extractions the residual spans ≤6 mantissa bits, within
+    bf16's 8 — so the triple is exact for every normal f32, and the
+    f32 reconstruction (h1+h2)+h3 re-sums without rounding (bit spans
+    of 18 and 24 ≤ f32's 24).
+    """
+    x = x.astype(jnp.float32)
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - h2.astype(jnp.float32)
+    h3 = r2.astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def _encode_rows(batch: Transition) -> jax.Array:
+    """Pack a Transition batch into bf16 rows [B, 2S+5]."""
+    h1, h2, h3 = _bf16_triple(batch.reward)
+    col = lambda v: v.astype(jnp.bfloat16)[:, None]  # noqa: E731
+    return jnp.concatenate(
+        [
+            batch.state.astype(jnp.bfloat16),
+            batch.next_state.astype(jnp.bfloat16),
+            col(batch.action),
+            col(batch.done),
+            col(h1),
+            col(h2),
+            col(h3),
+        ],
+        axis=-1,
+    )
+
+
+def _decode_rows(flat: jax.Array) -> Transition:
+    """Unpack f32 rows [N, 2S+5] (exact-integer contents) → Transition."""
+    s = (flat.shape[-1] - _EXTRA_COLS) // 2
+    return Transition(
+        state=flat[:, :s].astype(jnp.int8),
+        action=flat[:, 2 * s].astype(jnp.int32),
+        reward=(flat[:, 2 * s + 2] + flat[:, 2 * s + 3]) + flat[:, 2 * s + 4],
+        next_state=flat[:, s : 2 * s].astype(jnp.int8),
+        done=flat[:, 2 * s + 1] != 0,
+    )
+
+
 @struct.dataclass
 class ReplayState:
-    state: jax.Array  # int8[B, M, S]
-    action: jax.Array  # int8[B, M]
-    reward: jax.Array  # f32[B, M]
-    next_state: jax.Array  # int8[B, M, S]
-    done: jax.Array  # bool[B, M]
+    rows: jax.Array  # bf16[B, M, 2S+5] packed transitions
     ptr: jax.Array  # int32 scalar: per-env write head
     fill: jax.Array  # int32 scalar: per-env live count
 
     @property
     def env_batch(self) -> int:
-        return self.state.shape[0]
+        return self.rows.shape[0]
 
     @property
     def per_env_capacity(self) -> int:
-        return self.state.shape[1]
+        return self.rows.shape[1]
 
     @property
     def capacity(self) -> int:
         """Total transition capacity across all env rings."""
-        return self.state.shape[0] * self.state.shape[1]
+        return self.rows.shape[0] * self.rows.shape[1]
 
     @property
     def total_fill(self):
         """Total live transitions (fill is per-env)."""
-        return self.fill * self.state.shape[0]
+        return self.fill * self.rows.shape[0]
+
+    @property
+    def cells(self) -> int:
+        return (self.rows.shape[-1] - _EXTRA_COLS) // 2
+
+    # Decoded full-buffer views (host/test convenience, not the hot path).
+    def _view(self, field: str):
+        b, m = self.rows.shape[:2]
+        flat = self.rows.reshape(b * m, -1).astype(jnp.float32)
+        return getattr(_decode_rows(flat), field).reshape(
+            (b, m) + ((self.cells,) if field in ("state", "next_state") else ())
+        )
+
+    @property
+    def state(self):
+        return self._view("state")
+
+    @property
+    def action(self):
+        return self._view("action")
+
+    @property
+    def reward(self):
+        return self._view("reward")
+
+    @property
+    def next_state(self):
+        return self._view("next_state")
+
+    @property
+    def done(self):
+        return self._view("done")
 
 
 def per_env_capacity(capacity: int, env_batch: int) -> int:
@@ -107,13 +206,8 @@ def create(capacity: int, cells: int = 16, env_batch: int = 1) -> ReplayState:
     """Allocate an empty buffer of ≥``capacity`` transitions, split into
     ``env_batch`` per-env rings."""
     m = per_env_capacity(capacity, env_batch)
-    b = env_batch
     return ReplayState(
-        state=jnp.zeros((b, m, cells), jnp.int8),
-        action=jnp.zeros((b, m), jnp.int8),
-        reward=jnp.zeros((b, m), jnp.float32),
-        next_state=jnp.zeros((b, m, cells), jnp.int8),
-        done=jnp.zeros((b, m), jnp.bool_),
+        rows=jnp.zeros((env_batch, m, 2 * cells + _EXTRA_COLS), jnp.bfloat16),
         ptr=jnp.zeros((), jnp.int32),
         fill=jnp.zeros((), jnp.int32),
     )
@@ -121,25 +215,14 @@ def create(capacity: int, cells: int = 16, env_batch: int = 1) -> ReplayState:
 
 def add_step(rs: ReplayState, batch: Transition) -> ReplayState:
     """Append one transition per env (B lockstep ``append`` calls,
-    dqn_lib.py:106). A dynamic-update-slice at the shared write head —
-    elementwise in the env axis, hence shard-local under a 'data' mesh.
-    Evict-oldest falls out of the modular head per ring."""
+    dqn_lib.py:106). One fused elementwise select over the buffer — no
+    dynamic-update-slice (row-serial on TPU), shard-local under a 'data'
+    mesh. Evict-oldest falls out of the modular head per ring."""
     m = rs.per_env_capacity
     p = rs.ptr % m
+    sel = (jnp.arange(m) == p)[None, :, None]
     return rs.replace(
-        state=jax.lax.dynamic_update_index_in_dim(
-            rs.state, batch.state.astype(rs.state.dtype), p, 1
-        ),
-        action=jax.lax.dynamic_update_index_in_dim(
-            rs.action, batch.action.astype(rs.action.dtype), p, 1
-        ),
-        reward=jax.lax.dynamic_update_index_in_dim(
-            rs.reward, batch.reward.astype(rs.reward.dtype), p, 1
-        ),
-        next_state=jax.lax.dynamic_update_index_in_dim(
-            rs.next_state, batch.next_state.astype(rs.next_state.dtype), p, 1
-        ),
-        done=jax.lax.dynamic_update_index_in_dim(rs.done, batch.done, p, 1),
+        rows=jnp.where(sel, _encode_rows(batch)[:, None, :], rs.rows),
         ptr=(p + 1) % m,
         fill=jnp.minimum(rs.fill + 1, m),
     )
@@ -173,26 +256,21 @@ def sample(rs: ReplayState, key: jax.Array, batch_size: int) -> Transition:
     """Stratified uniform sampling with replacement: each env ring
     contributes ``sample_rows(batch_size, B)`` draws from its own live
     region (see module docstring for why this matches the reference's
-    global uniform scheme, dqn_lib.py:67-70). Per-env gathers are aligned
-    with the 'data' shard axis — no cross-device traffic. The caller must
-    ensure the buffer is non-empty (the training loop gates the learner on
-    a fill threshold); ``max(fill, 1)`` guards the degenerate empty case.
+    global uniform scheme, dqn_lib.py:67-70). The draw is a batched
+    one-hot matmul on the MXU (f32 accumulation, bit-exact) — per-env,
+    aligned with the 'data' shard axis, no cross-device traffic. The
+    caller must ensure the buffer is non-empty (the training loop gates
+    the learner on a fill threshold); ``max(fill, 1)`` guards the
+    degenerate empty case.
     """
-    b = rs.env_batch
+    b, m = rs.rows.shape[:2]
     s = sample_rows(batch_size, b)
     idx = jax.random.randint(key, (b, s), 0, jnp.maximum(rs.fill, 1))
-
-    def take(arr):
-        # arr: [B, M, ...] → [B, S, ...] → [B*S, ...]
-        out = jnp.take_along_axis(
-            arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1
-        )
-        return out.reshape((b * s,) + arr.shape[2:])
-
-    return Transition(
-        state=take(rs.state),
-        action=take(rs.action).astype(jnp.int32),
-        reward=take(rs.reward),
-        next_state=take(rs.next_state),
-        done=take(rs.done),
-    )
+    onehot = (idx[..., None] == jnp.arange(m)).astype(jnp.bfloat16)
+    flat = jnp.einsum(
+        "bsm,bmr->bsr",
+        onehot,
+        rs.rows,
+        preferred_element_type=jnp.float32,
+    ).reshape(b * s, rs.rows.shape[-1])
+    return _decode_rows(flat)

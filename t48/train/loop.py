@@ -58,30 +58,38 @@ from t48.train.schedules import epsilon_schedule
 
 @struct.dataclass
 class EpisodeLog:
-    """Fixed-size on-device ring of completed-episode metrics.
+    """Per-env on-device buffer of completed-episode metrics.
 
-    One packed ``int32[size + 1, 7]`` array — columns are (max_tile,
-    merge_score, number, reward_bits, q_value_bits, epsilon_bits,
-    number_moves), with the three float metrics stored as bitcast int32 —
-    so logging an iteration's completions is ONE row scatter instead of
-    seven. The last slot is a write sink for non-completed envs so the
-    scatter stays shape-static. ``ptr`` is the monotonic count of
-    episodes ever logged; live entries are
-    ``[(ptr - k) % size for k in 1..min(ptr, size)]``.
+    ``data[b, i]`` is env *b*'s *i*-th completion since the last drain —
+    a packed int32 row of (max_tile, merge_score, number, reward_bits,
+    q_value_bits, epsilon_bits, number_moves), the three float metrics
+    bitcast to int32. ``count[b]`` is env *b*'s completions since the
+    drain; ``make_train_chunk`` zeroes it at every chunk entry and the
+    host drains after every chunk, sorting rows by the global completion
+    rank stored in the ``number`` column.
+
+    Why per-env slots instead of one global ring: a global ring needs a
+    scatter at batch-computed slots, and TPU scatters are row-serialized
+    (~180µs/iteration at env_batch=4096 — it was 22% of the training
+    iteration, benchmarks/breakdown_r02_pre.json). The per-env write is
+    a fused elementwise select (``where(slot == count_b and done_b)``)
+    over [B, R, 7] — a streaming VPU op with no scatter at all.
     """
 
-    data: jax.Array  # int32[E+1, 7] packed metric rows
-    ptr: jax.Array  # int32 scalar, monotonic
+    data: jax.Array  # int32[B, R, 7] packed metric rows
+    count: jax.Array  # int32[B] completions since last drain
 
 
 # packed column order (shared by the writer below and the host drain)
 _LOG_COLS = ("max_tile", "merge_score", "number", "reward", "q_value",
              "epsilon", "number_moves")
 _LOG_FLOAT_COLS = (3, 4, 5)  # reward, q_value, epsilon — bitcast f32
+_LOG_NUMBER_COL = 2
 
 
 def effective_log_size(config: T48Config) -> int:
-    """Episode-ring capacity that provably cannot overflow within a chunk.
+    """Per-env episode-slot capacity R that provably cannot overflow
+    within a chunk.
 
     A 2048 episode lasts at least K²−2 env steps: a fresh board holds 2
     tiles, the game can only end with the board full (any empty cell
@@ -89,21 +97,20 @@ def effective_log_size(config: T48Config) -> int:
     only remove tiles — so ≥ K²−2 spawning steps must pass before a board
     can fill. Per chunk each env therefore completes at most
     ``1 + (chunk_iters−1) // (K²−2)`` episodes (the +1 covers an episode
-    already in flight at the chunk boundary). Sizing the ring to that
-    bound × env_batch makes the drain's drop path an impossible state;
-    ``config.episode_log_size`` only ever *raises* the capacity.
+    already in flight at the chunk boundary). Sizing each env's slots to
+    that bound makes the drain's drop path an impossible state;
+    ``config.episode_log_size`` (a *global* entry count, divided by
+    env_batch) only ever raises the capacity.
     """
     min_episode_steps = config.board_k * config.board_k - 2
-    bound = config.env_batch * (
-        1 + (config.chunk_iters - 1) // min_episode_steps
-    )
-    return max(config.episode_log_size, bound)
+    bound = 1 + (config.chunk_iters - 1) // min_episode_steps
+    return max(bound, -(-config.episode_log_size // config.env_batch))
 
 
-def _create_log(size: int) -> EpisodeLog:
+def _create_log(size: int, env_batch: int) -> EpisodeLog:
     return EpisodeLog(
-        data=jnp.zeros((size + 1, len(_LOG_COLS)), jnp.int32),
-        ptr=jnp.zeros((), jnp.int32),
+        data=jnp.zeros((env_batch, size, len(_LOG_COLS)), jnp.int32),
+        count=jnp.zeros((env_batch,), jnp.int32),
     )
 
 
@@ -200,7 +207,7 @@ def create_train_state(
             last_train_episodes=jnp.zeros((), jnp.int32),
             last_sync_episodes=jnp.zeros((), jnp.int32),
             last_loss=jnp.zeros((), jnp.float32),
-            log=_create_log(effective_log_size(config)),
+            log=_create_log(effective_log_size(config), config.env_batch),
         )
 
     if mesh is None:
@@ -300,7 +307,6 @@ def make_train_iteration(
         done = done_pre
         n_done = done.sum().astype(jnp.int32)
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1  # order within batch
-        slot = jnp.where(done, (state.log.ptr + rank) % log_size, log_size)
         steps_f = jnp.maximum(new_env.step_counts.astype(jnp.float32), 1.0)
         log = state.log
         if with_log:
@@ -318,10 +324,16 @@ def make_train_iteration(
                     new_env.step_counts,
                 ],
                 axis=-1,
-            )  # [B, 7] — one scatter for all metrics
+            )  # [B, 7]
+            # fused elementwise select-write: env b's next free slot
+            slot_sel = (
+                jnp.arange(log_size)[None, :] == log.count[:, None]
+            ) & done[:, None]
             log = log.replace(
-                data=log.data.at[slot].set(payload),
-                ptr=log.ptr + n_done,
+                data=jnp.where(
+                    slot_sel[:, :, None], payload[:, None, :], log.data
+                ),
+                count=log.count + done.astype(jnp.int32),
             )
         episodes_done = state.episodes_done + n_done
 
@@ -407,53 +419,77 @@ def make_train_iteration(
     return iteration
 
 
-def make_train_chunk(config: T48Config, **ablation_flags) -> Callable:
+def make_train_chunk(config: T48Config, mesh=None, **ablation_flags) -> Callable:
     """Jitted ``chunk(state) -> (state, SnapshotStream[T])`` running
-    ``config.chunk_iters`` iterations under ``lax.scan``. Keyword flags
-    pass through to ``make_train_iteration`` (bench ablations only)."""
+    ``config.chunk_iters`` iterations under ``lax.scan``. The episode
+    log's per-env counts reset at chunk entry (the host drains after
+    every chunk; ``effective_log_size`` bounds completions per chunk, so
+    the slots can never overflow between drains).
+
+    With ``mesh`` the output shardings are pinned to the declared DP
+    layout (t48/distrib/mesh.py). This matters on a multi-host slice:
+    left to itself GSPMD shards the episode log along ``data`` (its
+    writes are elementwise in the env axis), but the coordinator must
+    ``device_get`` the log to drain it, which requires every shard to be
+    process-addressable — i.e. the log must come back replicated (XLA
+    inserts the small per-iteration payload all-gather).
+
+    Keyword flags pass through to ``make_train_iteration`` (bench
+    ablations only)."""
     iteration = make_train_iteration(config, **ablation_flags)
 
-    @jax.jit
     def chunk(state: TrainState):
+        state = state.replace(
+            log=state.log.replace(count=jnp.zeros_like(state.log.count))
+        )
         return jax.lax.scan(
             lambda s, _: iteration(s), state, None, length=config.chunk_iters
         )
 
-    return chunk
+    if mesh is None:
+        return jax.jit(chunk)
+    from jax.sharding import NamedSharding, PartitionSpec
+    from t48.distrib.mesh import train_state_shardings
+
+    template = jax.eval_shape(lambda: create_train_state(config))
+    state_sh = train_state_shardings(template, mesh, config)
+    rep = NamedSharding(mesh, PartitionSpec())
+    snap_sh = SnapshotStream(board=rep, action=rep, reward=rep, done=rep)
+    return jax.jit(chunk, out_shardings=(state_sh, snap_sh))
 
 
-def drain_episode_log(prev_ptr: int, log: EpisodeLog, log_size: int):
-    """Host-side: extract episode dicts written since ``prev_ptr``.
+def drain_episode_log(log: EpisodeLog):
+    """Host-side: extract this chunk's completed episodes.
 
-    Returns (episodes list in completion order, new_ptr, dropped).
-    ``dropped`` counts overflow entries; with the ring sized by
-    ``effective_log_size`` this is provably always 0 when draining once
-    per chunk (the trainer asserts it).
+    Returns (episodes list in global completion order, dropped).
+    ``dropped`` counts completions beyond an env's slot capacity; with
+    slots sized by ``effective_log_size`` this is provably always 0 when
+    draining once per chunk (the trainer asserts it).
     """
     import numpy as np
 
-    new_ptr = int(log.ptr)
-    count = new_ptr - prev_ptr
-    dropped = max(0, count - log_size)
-    count = min(count, log_size)
-    start = new_ptr - count
-    idx = [(start + i) % log_size for i in range(count)]
-    episodes = []
-    if count:
-        rows = np.asarray(jax.device_get(log.data))[idx]  # [count, 7] int32
-        floats = np.ascontiguousarray(
-            rows[:, list(_LOG_FLOAT_COLS)]
-        ).view(np.float32)
-        for i in range(count):
-            episodes.append(
-                {
-                    "max_tile": int(rows[i, 0]),
-                    "merge_score": int(rows[i, 1]),
-                    "number": int(rows[i, 2]),
-                    "reward": float(floats[i, 0]),
-                    "q_value": float(floats[i, 1]),
-                    "epsilon": float(floats[i, 2]),
-                    "number_moves": int(rows[i, 6]),
-                }
-            )
-    return episodes, new_ptr, dropped
+    counts = np.asarray(jax.device_get(log.count))  # [B]
+    data = np.asarray(jax.device_get(log.data))  # [B, R, 7]
+    r = data.shape[1]
+    dropped = int(np.maximum(counts - r, 0).sum())
+    live = np.arange(r)[None, :] < counts[:, None]  # [B, R]
+    rows = data[live]  # [N, 7] int32, env-major
+    if not rows.size:
+        return [], dropped
+    rows = rows[np.argsort(rows[:, _LOG_NUMBER_COL], kind="stable")]
+    floats = np.ascontiguousarray(rows[:, list(_LOG_FLOAT_COLS)]).view(
+        np.float32
+    )
+    episodes = [
+        {
+            "max_tile": int(rows[i, 0]),
+            "merge_score": int(rows[i, 1]),
+            "number": int(rows[i, 2]),
+            "reward": float(floats[i, 0]),
+            "q_value": float(floats[i, 1]),
+            "epsilon": float(floats[i, 2]),
+            "number_moves": int(rows[i, 6]),
+        }
+        for i in range(rows.shape[0])
+    ]
+    return episodes, dropped

@@ -189,7 +189,7 @@ def train(
             f"({jax.process_count()} process(es))"
         )
 
-    chunk = loop_lib.make_train_chunk(config)
+    chunk = loop_lib.make_train_chunk(config, mesh=mesh)
     assembler = SnapshotAssembler(
         experiment,
         config.snapshot_game_every_n_episodes,
@@ -197,8 +197,6 @@ def train(
         config.board_k,
     )
 
-    log_ptr = int(state.log.ptr)
-    log_size = loop_lib.effective_log_size(config)
     target_episodes = max_episodes if max_episodes is not None else config.no_episodes
     last_save = int(state.episodes_done)
     last_print = int(state.episodes_done)
@@ -224,11 +222,9 @@ def train(
             state, snapshot = chunk(state)
             episodes = []
             if coordinator:
-                episodes, log_ptr, dropped = loop_lib.drain_episode_log(
-                    log_ptr, state.log, log_size
-                )
-                # impossible by construction: the ring is sized to the
-                # provable per-chunk bound (loop.effective_log_size)
+                episodes, dropped = loop_lib.drain_episode_log(state.log)
+                # impossible by construction: the per-env slots are sized
+                # to the provable per-chunk bound (loop.effective_log_size)
                 assert dropped == 0, f"episode log overflow: dropped {dropped}"
                 experiment.add_episodes(episodes)
                 assembler.feed(snapshot)

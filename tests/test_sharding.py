@@ -49,7 +49,7 @@ class TestMesh:
         state = loop_lib.create_train_state(cfg)
         sh = train_state_shardings(state, mesh, cfg)
         assert sh.env.boards.spec == P("data")
-        assert sh.replay.state.spec == P("data")
+        assert sh.replay.rows.spec == P("data")
         assert sh.ep_reward_sum.spec == P("data")
         # params replicated
         for leaf in jax.tree_util.tree_leaves(sh.params):

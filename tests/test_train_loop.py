@@ -67,15 +67,17 @@ class TestTrainChunk:
         assert float(state.last_loss) > 0
 
     def test_episode_log_schema_and_monotonic_numbers(self):
+        """The log is drained once per chunk (chunk entry resets the
+        per-env counts), episodes arrive in global completion order."""
         cfg = tiny_config()
         state = loop_lib.create_train_state(cfg)
         chunk = loop_lib.make_train_chunk(cfg)
-        state, _ = chunk(state)
-        state, _ = chunk(state)
-        episodes, ptr, dropped = loop_lib.drain_episode_log(
-            0, state.log, loop_lib.effective_log_size(cfg)
-        )
-        assert dropped == 0
+        episodes = []
+        for _ in range(2):
+            state, _ = chunk(state)
+            got, dropped = loop_lib.drain_episode_log(state.log)
+            assert dropped == 0
+            episodes.extend(got)
         assert len(episodes) == int(state.episodes_done)
         keys = {
             "max_tile", "merge_score", "number", "reward",
@@ -103,23 +105,20 @@ class TestTrainChunk:
         )
         eff = loop_lib.effective_log_size(cfg)
         min_len = cfg.board_k * cfg.board_k - 2
-        assert eff == cfg.env_batch * (1 + (cfg.chunk_iters - 1) // min_len)
+        assert eff == 1 + (cfg.chunk_iters - 1) // min_len
         state = loop_lib.create_train_state(cfg)
-        assert state.log.data.shape[0] == eff + 1
+        assert state.log.data.shape[:2] == (cfg.env_batch, eff)
         chunk = loop_lib.make_train_chunk(cfg)
-        ptr = 0
         total = 0
         for _ in range(4):
             state, _ = chunk(state)
-            episodes, ptr, dropped = loop_lib.drain_episode_log(
-                ptr, state.log, eff
-            )
+            episodes, dropped = loop_lib.drain_episode_log(state.log)
             assert dropped == 0
             total += len(episodes)
         assert total == int(state.episodes_done)
         # the bound is tight enough to be meaningful: every episode took
         # at least K*K-2 env steps
-        assert total <= 4 * eff
+        assert total <= 4 * eff * cfg.env_batch
 
     def test_no_training_before_gate(self):
         cfg = tiny_config(no_episodes_before_training=10_000)
