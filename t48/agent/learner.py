@@ -74,15 +74,56 @@ def td_loss(
     batch: Transition,
     discount: float,
     use_double_dqn: bool = True,
+    fused_apply: bool = False,
 ):
-    """Sum-reduced MSE TD loss of the taken actions' Q-values."""
-    target_fn = double_dqn_targets if use_double_dqn else vanilla_dqn_targets
+    """Sum-reduced MSE TD loss of the taken actions' Q-values.
+
+    All TD arithmetic runs in f32 even when ``apply_fn`` computes in bf16
+    (the sum over a 5000-row batch would lose bf16 mantissa bits).
+
+    ``fused_apply``: compute Q(s) and Q_online(s') in ONE forward on the
+    [2B] concatenated batch — same params, pure fusion; one MXU pass of
+    twice the rows beats two passes of B rows (measured ~1.5× on the
+    whole update, scripts/learner_microbench.py).
+
+    ``batch.weight`` (optional f32[B]) scales each row's squared error —
+    the learner-batch cap masks surplus rows with weight 0 so the
+    effective batch matches ``config.batch_size`` at any env_batch.
+    """
+    enc = encode(batch.state)
+    next_enc = encode(batch.next_state)
+    if fused_apply and use_double_dqn:
+        # Interleave (s, s') per row instead of concatenating the halves:
+        # a [B,2,...]→[2B,...] reshape keeps every row on its own 'data'
+        # shard under GSPMD, whereas concat along the sharded axis forces
+        # an all-to-all redistribution (asserted in tests/test_sharding.py).
+        joint = jnp.stack([enc, next_enc], axis=1)
+        joint = joint.reshape((-1,) + enc.shape[1:])
+        both = apply_fn(params, joint).reshape(enc.shape[0], 2, -1)
+        q_all, next_q_online = both[:, 0, :], both[:, 1, :]
+        best_next = jnp.argmax(next_q_online, axis=-1)
+        next_q_target = apply_fn(target_params, next_enc)
+        next_best_q = _select_action(next_q_target, best_next)
+    else:
+        q_all = apply_fn(params, enc)
+        if use_double_dqn:
+            next_q_online = apply_fn(params, next_enc)
+            best_next = jnp.argmax(next_q_online, axis=-1)
+            next_q_target = apply_fn(target_params, next_enc)
+            next_best_q = _select_action(next_q_target, best_next)
+        else:
+            next_best_q = apply_fn(target_params, next_enc).max(-1)
+    not_done = 1.0 - batch.done.astype(jnp.float32)
     targets = jax.lax.stop_gradient(
-        target_fn(apply_fn, params, target_params, encode, batch, discount)
+        batch.reward
+        + not_done * discount * next_best_q.astype(jnp.float32)
     )
-    q_all = apply_fn(params, encode(batch.state))
-    q_taken = _select_action(q_all, batch.action)
-    return jnp.sum(jnp.square(q_taken - targets))
+    q_taken = _select_action(q_all, batch.action).astype(jnp.float32)
+    err2 = jnp.square(q_taken - targets)
+    weight = getattr(batch, "weight", None)
+    if weight is not None:
+        err2 = err2 * weight
+    return jnp.sum(err2)
 
 
 class LearnerOutput(NamedTuple):
@@ -98,6 +139,7 @@ def make_train_step(
     discount: float,
     use_double_dqn: bool = True,
     compat_zero_update: bool = False,
+    fused_apply: bool = False,
 ):
     """Build the jittable learner update.
 
@@ -105,12 +147,15 @@ def make_train_step(
     LearnerOutput``. With ``compat_zero_update`` the gradient is replaced
     by zeros *after* loss computation, emulating the reference's
     backward→zero_grad→step ordering bug (dqn_lib.py:161-163).
+    ``fused_apply`` computes Q(s) and Q_online(s') in one [2B] forward
+    (see ``td_loss``).
     """
 
     def train_step(params, target_params, opt_state, batch: Transition):
         loss, grads = jax.value_and_grad(
             lambda p: td_loss(
-                apply_fn, p, target_params, encode, batch, discount, use_double_dqn
+                apply_fn, p, target_params, encode, batch, discount,
+                use_double_dqn, fused_apply,
             )
         )(params)
         if compat_zero_update:

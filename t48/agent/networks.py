@@ -69,10 +69,27 @@ class ConvQNet(nn.Module):
         return nn.Dense(self.num_actions, dtype=self.dtype)(x)
 
 
-def build_network(arch: str) -> nn.Module:
-    """'dense' | 'conv' → module (the reference's two model families)."""
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def dtype_of(name: str) -> jnp.dtype:
+    """Config ``compute_dtype`` string → jnp dtype."""
+    if name not in _DTYPES:
+        raise ValueError(f"unknown compute dtype {name!r}; have {sorted(_DTYPES)}")
+    return _DTYPES[name]
+
+
+def build_network(arch: str, dtype: jnp.dtype = jnp.float32) -> nn.Module:
+    """'dense' | 'conv' → module (the reference's two model families).
+
+    ``dtype`` is the COMPUTE dtype (matmuls/activations); parameters stay
+    float32 (flax's ``param_dtype`` default) — the bf16-compute/f32-params
+    recipe that runs the MXU at full rate without losing optimizer
+    precision. The TD loss itself is always accumulated in f32
+    (t48/agent/learner.py).
+    """
     if arch == "dense":
-        return DenseQNet()
+        return DenseQNet(dtype=dtype)
     if arch == "conv":
-        return ConvQNet()
+        return ConvQNet(dtype=dtype)
     raise ValueError(f"unknown architecture: {arch!r}")

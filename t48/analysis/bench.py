@@ -216,33 +216,30 @@ def run_train_bench(
         eps_per_chunk = (int(state.episodes_done) - ep0) / (trials + 1)
         updates_per_chunk = (int(state.train_steps) - ts0) / (trials + 1)
 
-        # flop accounting from XLA cost analysis
-        from t48.agent.networks import build_network
-
-        net = build_network(cfg.arch)
+        # flop accounting from XLA cost analysis (same net / optimizer /
+        # learner-step construction as the real training loop)
+        net = loop_lib.build_net(cfg)
         encode = loop_lib.encoder_for(cfg.arch, cfg.board_k)
         x = jnp.zeros((env_batch, cfg.board_k * cfg.board_k), jnp.int8)
         params = net.init(jax.random.PRNGKey(0), encode(x))
         fwd_flops = _compiled_flops(
             jax.jit(net.apply).lower(params, encode(x)).compile()
         )
-        from t48.agent import learner as learner_lib
         from t48.replay import buffer as replay_lib
-        import optax
 
-        eff_batch = env_batch * replay_lib.sample_rows(cfg.batch_size, env_batch)
+        raw_batch = env_batch * replay_lib.sample_rows(cfg.batch_size, env_batch)
+        capped = cfg.learner_batch_cap and raw_batch > cfg.batch_size
+        eff_batch = cfg.batch_size if capped else raw_batch
         tr = replay_lib.Transition(
-            state=jnp.zeros((eff_batch, 16), jnp.int8),
-            action=jnp.zeros((eff_batch,), jnp.int32),
-            reward=jnp.zeros((eff_batch,), jnp.float32),
-            next_state=jnp.zeros((eff_batch, 16), jnp.int8),
-            done=jnp.zeros((eff_batch,), bool),
+            state=jnp.zeros((raw_batch, 16), jnp.int8),
+            action=jnp.zeros((raw_batch,), jnp.int32),
+            reward=jnp.zeros((raw_batch,), jnp.float32),
+            next_state=jnp.zeros((raw_batch, 16), jnp.int8),
+            done=jnp.zeros((raw_batch,), bool),
+            weight=jnp.ones((raw_batch,), jnp.float32) if capped else None,
         )
-        step_fn = learner_lib.make_train_step(
-            net.apply, encode, optax.adam(cfg.learning_rate),
-            cfg.discount_factor, cfg.use_double_dqn,
-        )
-        opt_state = optax.adam(cfg.learning_rate).init(params)
+        step_fn = loop_lib.build_train_step(cfg)
+        opt_state = loop_lib.build_optimizer(cfg).init(params)
         learner_flops = _compiled_flops(
             jax.jit(step_fn).lower(params, params, opt_state, tr).compile()
         )

@@ -85,17 +85,103 @@ def learning_curve_summary(
     }
 
 
+# The reference's published SSS_replay max-tile distribution at 17,758
+# episodes (experiment_analysis.ipynb cell-5 output, quoted in BASELINE.md)
+REFERENCE_SSS_EPISODES = 17_758
+REFERENCE_SSS_MAX_TILE = {
+    8: 7, 16: 84, 32: 742, 64: 4100, 128: 7344,
+    256: 4799, 512: 680, 1024: 2,
+}
+REFERENCE_SSS_EPISODES_PER_S = 0.277  # 17,758 episodes / 17:48:41
+
+
+def compare_to_reference(episodes: List[dict]) -> dict:
+    """Side-by-side max-tile distribution vs the reference's published
+    SSS_replay run, evaluated at the same episode checkpoint (the first
+    17,758 completed episodes — or fewer, flagged, if the run is
+    shorter). BASELINE.md / experiment_analysis.ipynb cell-5."""
+    n = min(len(episodes), REFERENCE_SSS_EPISODES)
+    ours = max_tile_frequency(episodes[:n])
+    ref_total = sum(REFERENCE_SSS_MAX_TILE.values())
+    tiles = sorted(set(ours) | set(REFERENCE_SSS_MAX_TILE))
+    rows = []
+    for t in tiles:
+        o = ours.get(t, {"count": 0, "percent": 0.0})
+        rc = REFERENCE_SSS_MAX_TILE.get(t, 0)
+        rows.append(
+            {
+                "tile": t,
+                "ours_count": o["count"],
+                "ours_percent": o["percent"],
+                "reference_count": rc,
+                "reference_percent": round(100.0 * rc / ref_total, 2),
+            }
+        )
+    ours_ge128 = sum(
+        o["count"] for t, o in ours.items() if t >= 128
+    ) / max(n, 1)
+    ref_ge128 = sum(
+        c for t, c in REFERENCE_SSS_MAX_TILE.items() if t >= 128
+    ) / ref_total
+    return {
+        "checkpoint_episodes": n,
+        "truncated": n < REFERENCE_SSS_EPISODES,
+        "rows": rows,
+        "ours_frac_ge_128": round(ours_ge128, 4),
+        "reference_frac_ge_128": round(ref_ge128, 4),
+        "reference_source": (
+            "experiment_analysis.ipynb cell-5 (SSS_replay, 17,758 episodes)"
+        ),
+    }
+
+
+def format_reference_comparison(cmp: dict) -> str:
+    """Printable side-by-side table for ``t48 analyze --vs-reference``."""
+    lines = [
+        f"max-tile distribution at {cmp['checkpoint_episodes']} episodes "
+        f"(reference: SSS_replay, {REFERENCE_SSS_EPISODES})",
+        f"{'tile':>6} {'ours':>8} {'ours%':>7} {'ref':>8} {'ref%':>7}",
+    ]
+    for r in cmp["rows"]:
+        lines.append(
+            f"{r['tile']:>6} {r['ours_count']:>8} {r['ours_percent']:>6.2f}% "
+            f"{r['reference_count']:>8} {r['reference_percent']:>6.2f}%"
+        )
+    lines.append(
+        f"frac >=128: ours {cmp['ours_frac_ge_128']:.2%} "
+        f"vs reference {cmp['reference_frac_ge_128']:.2%}"
+    )
+    if cmp["truncated"]:
+        lines.append(
+            "(run shorter than the reference checkpoint — partial compare)"
+        )
+    return "\n".join(lines)
+
+
+def _load_hyperparams(job_folder: str) -> dict:
+    path = os.path.join(job_folder, "text/hyperparams.json")
+    if os.path.isfile(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
 def render_report(job_folder: str, out_path: Optional[str] = None) -> dict:
     """Produce the analysis bundle for a job; optionally plot curves.
 
     Returns the report dict; writes ``analysis.json`` (and
     ``analysis.png`` when matplotlib is available) into the job folder.
+    The plots draw the training-start and ε-floor episode markers the
+    reference notebook overlays (experiment_analysis.ipynb), read from
+    the job's saved hyperparams.
     """
     episodes = load_episodes(job_folder)
+    hp = _load_hyperparams(job_folder)
     report = {
         "job": os.path.basename(job_folder.rstrip("/")),
         "max_tile_frequency": max_tile_frequency(episodes),
         "learning_curve": learning_curve_summary(episodes),
+        "vs_reference": compare_to_reference(episodes),
     }
     out_path = out_path or os.path.join(job_folder, "analysis.json")
     with open(out_path, "w") as f:
@@ -106,6 +192,26 @@ def render_report(job_folder: str, out_path: Optional[str] = None) -> dict:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        # vline positions (the notebook's overlays): training starts after
+        # `no_episodes_before_training`; ε hits its floor when the linear
+        # decay max((E−ep)/E, ε_min) reaches ε_min, at ep = E·(1−ε_min)
+        train_start = hp.get("no_episodes_before_training")
+        eps_total = hp.get("no_episodes_to_reach_epsilon")
+        min_eps = hp.get("min_epsilon", 0.0)
+        eps_floor = (
+            eps_total * (1.0 - float(min_eps))
+            if eps_total is not None
+            else None
+        )
+
+        def draw_vlines(ax):
+            if train_start is not None:
+                ax.axvline(train_start, color="green", ls="--", lw=1,
+                           alpha=0.8, label="training starts")
+            if eps_floor is not None:
+                ax.axvline(eps_floor, color="red", ls=":", lw=1,
+                           alpha=0.8, label="ε floor")
+
         fig, axes = plt.subplots(2, 2, figsize=(13, 8))
         nums = [e["number"] for e in episodes]
         for ax, key, title in (
@@ -114,9 +220,12 @@ def render_report(job_folder: str, out_path: Optional[str] = None) -> dict:
             (axes[1][0], "number_moves", "#moves"),
         ):
             ax.scatter(nums, [e[key] for e in episodes], s=2, alpha=0.3)
+            draw_vlines(ax)
             ax.set_title(f"{title} / episode")
+        axes[0][0].legend(loc="upper left", fontsize=8)
         ax = axes[1][1]
         ax.plot(nums, [e["epsilon"] for e in episodes], label="epsilon")
+        draw_vlines(ax)
         ax2 = ax.twinx()
         ax2.plot(nums, [e["q_value"] for e in episodes], color="C1", alpha=0.5,
                  label="mean Q")

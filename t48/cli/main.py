@@ -37,6 +37,16 @@ def _add_config_overrides(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--chunk-iters", type=int, default=None)
     parser.add_argument("--policy-compat", choices=["masked", "reference"],
                         default=None)
+    parser.add_argument("--max-updates", type=int, default=None,
+                        help="learner updates per env iteration "
+                             "(deficit-driven; ~env_batch/144 recovers the "
+                             "reference's one-update-per-episode cadence)")
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default=None)
+    parser.add_argument("--env-backend", choices=["auto", "xla", "pallas"],
+                        default=None)
+    parser.add_argument("--replay-length", type=int, default=None,
+                        help="override replay_buffer_length")
 
 
 def _build_config(args):
@@ -57,6 +67,14 @@ def _build_config(args):
         overrides["chunk_iters"] = args.chunk_iters
     if args.policy_compat is not None:
         overrides["policy_compat"] = args.policy_compat
+    if args.max_updates is not None:
+        overrides["max_updates_per_iteration"] = args.max_updates
+    if args.compute_dtype is not None:
+        overrides["compute_dtype"] = args.compute_dtype
+    if args.env_backend is not None:
+        overrides["env_backend"] = args.env_backend
+    if args.replay_length is not None:
+        overrides["replay_buffer_length"] = args.replay_length
     return get_preset(args.preset, **overrides)
 
 
@@ -189,13 +207,18 @@ def cmd_play(args) -> int:
 
 def cmd_analyze(args) -> int:
     """Learning-curve + max-tile report for a job (the reference's
-    experiment_analysis.ipynb as a command)."""
+    experiment_analysis.ipynb as a command). ``--vs-reference`` prints
+    the side-by-side max-tile table against the reference's published
+    SSS_replay distribution (BASELINE.md)."""
     import os
 
-    from t48.analysis.report import render_report
+    from t48.analysis.report import format_reference_comparison, render_report
 
     report = render_report(os.path.join(args.root, args.job))
-    print(json.dumps(report, indent=2))
+    if args.vs_reference:
+        print(format_reference_comparison(report["vs_reference"]))
+    else:
+        print(json.dumps(report, indent=2))
     return 0
 
 
@@ -260,7 +283,32 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA/Mosaic compilation cache (same one bench.py uses):
+    the Pallas kernels can take minutes to compile through a remote
+    compile service, but a cached executable loads in seconds across
+    processes. Best-effort — ignored off-JAX or if the config knob is
+    unavailable."""
+    try:
+        import os
+
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(prog="t48", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -305,6 +353,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("analyze", help="learning-curve + max-tile report")
     p.add_argument("--job", required=True)
     p.add_argument("--root", default="experiments")
+    p.add_argument("--vs-reference", action="store_true",
+                   help="side-by-side vs the reference's published "
+                        "SSS_replay max-tile distribution")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("playback", help="replay a snapshotted game")

@@ -55,6 +55,29 @@ class T48Config:
     astar_max_expansions: int = 20000
     # sanitizers (SURVEY.md §5): per-chunk env invariant assertions
     debug_invariants: bool = False
+    # multi-host failure detection (SURVEY.md §5): if a train chunk takes
+    # longer than this, assume a peer process died mid-collective — dump
+    # this process's shards (collective-free) and exit. 0 disables.
+    watchdog_timeout_s: float = 0.0
+    # --- learner compute options (measured in scripts/learner_microbench.py;
+    # curve-neutrality validated by the integration tests + committed runs) ---
+    compute_dtype: str = "bfloat16"  # network compute dtype; params stay f32
+    learner_fused_apply: bool = True  # q(s) + q_online(s') in ONE [2B] apply
+    learner_flat_adam: bool = True  # optax.flatten: one fused vector Adam
+    # cap the effective learner batch at batch_size regardless of env_batch
+    # (without it the per-env stratified sample floors at 1 row/env, so the
+    # learner batch silently inflates to env_batch when env_batch > batch_size)
+    learner_batch_cap: bool = True
+    # learner updates per env iteration. Updates are deficit-driven — each
+    # consumes one owed completed episode, so cadence converges to the
+    # reference's one-update-per-episode (dqn_lib.py:213-226) whenever this
+    # is >= the mean episodes completed per iteration (~env_batch/144).
+    max_updates_per_iteration: int = 1
+    # in-loop env step backend: 'auto' picks the fused Pallas kernel
+    # (t48/ops/pallas_step.py) on TPU when shapes allow, else the XLA
+    # engine. The Pallas path uses the TPU-native PRNG — a different (but
+    # deterministic) random stream than the XLA path's threefry.
+    env_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     def hyperparams_dict(self) -> dict:
         """Reference-comparable hyperparams mapping (experiments.py:104-110
@@ -81,6 +104,8 @@ class T48Config:
             "env_batch": self.env_batch,
             "policy_compat": self.policy_compat,
             "seed": self.seed,
+            "compute_dtype": self.compute_dtype,
+            "max_updates_per_iteration": self.max_updates_per_iteration,
         }
 
     def to_json(self) -> str:
@@ -121,10 +146,35 @@ def double_dqn_conv_sss(**overrides) -> T48Config:
     ).replace(**overrides)
 
 
+def sss_published(**overrides) -> T48Config:
+    """The hyperparameters of the reference's PUBLISHED ``SSS_replay``
+    run — the one whose learning curve BASELINE.md quotes (γ=0.95,
+    lr=1e-4, replay 15k, batch 5000, ε-decay over 500 episodes,
+    train-after-50, target-sync-100; captured in
+    experiment_analysis.ipynb cell-3 output). The committed config
+    modules carry different values (γ=0.80, lr=1e-2), so curve-matching
+    runs must use THIS preset."""
+    return T48Config(
+        name="sss_published",
+        arch="conv",
+        batch_size=5000,
+        discount_factor=0.95,
+        replay_buffer_length=15000,
+        learning_rate=1e-4,
+        no_episodes=30000,
+        no_episodes_to_reach_epsilon=500,
+        min_epsilon=0.01,
+        no_episodes_before_training=50,
+        no_episodes_before_updating_target=100,
+        use_astar_seed=True,
+    ).replace(**overrides)
+
+
 PRESETS = {
     "double_dqn_conv": double_dqn_conv,
     "double_dqn_dense": double_dqn_dense,
     "double_dqn_conv_sss": double_dqn_conv_sss,
+    "sss_published": sss_published,
     # short aliases
     "conv": double_dqn_conv,
     "dense": double_dqn_dense,

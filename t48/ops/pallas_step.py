@@ -370,6 +370,175 @@ def pallas_rollout(boards_cm: jax.Array, seed: jax.Array, iters: int,
     return boards, scores, episodes
 
 
+# ---------------------------------------------------------------------------
+# Single-step env kernel for the TRAINING loop.
+#
+# The rollout kernel above fuses whole rollouts but cannot host a policy
+# network forward (the MXU matmul lives in XLA-land). The training loop
+# needs: legality → policy forward (XLA) → apply + spawn + reset. This
+# kernel is the second half of that sandwich, one env step per call:
+#
+#   inputs : boards (cell-major), this step's legality (carried from the
+#            previous call), the policy's actions, a per-iteration seed
+#   outputs: post-action PRE-reset boards (the replay transition's
+#            next_state and the episode log's terminal board), the
+#            post-reset boards (the carry), the NEXT legality (consumed
+#            by the next iteration's policy — computing it here saves
+#            recomputing it in XLA), and the merge-score reward.
+#
+# Replacing the XLA env step (engine.env_step + reset_where: ~350 tiny
+# [B]-shaped VPU ops per iteration, each using 1 of 8 sublanes, plus 3
+# threefry draws) with one fused kernel in (8, B/8) tiling took the env
+# stage of the training iteration from ~171µs to ~5µs at env_batch=4096
+# (benchmarks/breakdown_r03.json vs _r02).
+#
+# RNG: TPU-native PRNG seeded per call with a deterministic function of
+# the training step counter — a DIFFERENT stream than the XLA path's
+# threefry (documented divergence; dynamics semantics are identical and
+# pinned against the engine in tests/test_pallas.py).
+# ---------------------------------------------------------------------------
+
+
+def _env_step_core(cells, legal, action, spawn_bits, reset_bits):
+    """Pure single-step core (no PRNG): apply the chosen move where legal,
+    spawn where moved, auto-reset where terminal. Testable on CPU with
+    injected random bits (tests/test_pallas.py); the kernel feeds it TPU
+    PRNG draws.
+
+    Args:
+      cells:      16 lane arrays (the board).
+      legal:      4 int 0/1 lane arrays (current legality).
+      action:     int lane array (0..3).
+      spawn_bits: int31 lane array [2, ...] (cell pick, value pick).
+      reset_bits: int31 lane array [3, ...] (two cells, values).
+
+    Returns (fin, pre, new_legal 0/1, reward, done 0/1) — fin is the
+    post-reset carry, pre the post-action pre-reset boards.
+    """
+    done = jnp.where(
+        ((legal[0] | legal[1]) | (legal[2] | legal[3])) != 0, 0, 1
+    )
+    # merge the chosen direction only; a move "happens" iff it is legal
+    sel, delta = _apply_chosen(cells, action)
+    did = (
+        ((action == 0) & (legal[0] != 0))
+        | ((action == 1) & (legal[1] != 0))
+        | ((action == 2) & (legal[2] != 0))
+        | ((action == 3) & (legal[3] != 0))
+    )
+    sel = _spawn(sel, jnp.where(did, 1, 0), spawn_bits[0], spawn_bits[1])
+    pre = [jnp.where(did, s, c) for s, c in zip(sel, cells)]
+    reward = jnp.where(did, delta, 0)
+
+    # auto-reset terminal envs (the loop's reset_where, engine.py:503-518)
+    fin = _reset_spawn2(
+        pre, done != 0, reset_bits[0], reset_bits[1], reset_bits[2]
+    )
+    new_legal = [jnp.where(l, 1, 0) for l in _legal_all(fin)]
+    return fin, pre, new_legal, reward, done
+
+
+def _env_step_kernel(seed_ref, boards_ref, legal_ref, actions_ref,
+                     out_boards_ref, out_pre_ref, out_legal_ref, reward_ref):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    block = boards_ref.shape[1]
+    sub = 8
+    lanes = block // sub
+
+    boards = boards_ref[:, :].reshape(NCELLS, sub, lanes)
+    legal_in = legal_ref[:, :].reshape(4, sub, lanes)
+    action = actions_ref[:, :].reshape(sub, lanes)
+
+    cells = [boards[i] for i in range(NCELLS)]
+    legal = [legal_in[a] for a in range(4)]
+    spawn_bits = _rand_lanes((2 * sub, lanes)).reshape(2, sub, lanes)
+    reset_bits = _rand_lanes((3 * sub, lanes)).reshape(3, sub, lanes)
+    fin, pre, new_legal, reward, _ = _env_step_core(
+        cells, legal, action, spawn_bits, reset_bits
+    )
+
+    out_pre_ref[:, :] = jnp.stack(pre, axis=0).reshape(NCELLS, block)
+    out_boards_ref[:, :] = jnp.stack(fin, axis=0).reshape(NCELLS, block)
+    out_legal_ref[:, :] = jnp.stack(new_legal, axis=0).reshape(4, block)
+    reward_ref[:, :] = reward.reshape(1, block)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_env_step(
+    boards_cm: jax.Array,
+    legal_cm: jax.Array,
+    actions: jax.Array,
+    seed: jax.Array,
+    interpret: bool = False,
+):
+    """One policy-driven env step for all B envs, fused in VMEM.
+
+    Args:
+      boards_cm: int32[16, B] cell-major boards.
+      legal_cm:  int32[4, B] 0/1 legality of the CURRENT boards (as
+                 produced by a previous call's ``new_legal``, or
+                 ``legal_to_cell_major`` at chunk entry).
+      actions:   int32[B] chosen actions (0..3).
+      seed:      int32 scalar; must differ per step for fresh randomness.
+
+    Returns (new_boards_cm int32[16,B] — post-reset carry,
+             pre_reset_cm int32[16,B] — post-action pre-reset boards,
+             new_legal_cm int32[4,B] — legality of new_boards,
+             reward int32[B] — merge-score delta, 0 on no-op/terminal).
+    """
+    n = boards_cm.shape[1]
+    block = n if n < 1024 else 1024
+    grid = n // block
+    assert grid * block == n and block % 8 == 0, (n, block)
+    out = pl.pallas_call(
+        _env_step_kernel,
+        grid=(grid,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((NCELLS, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NCELLS, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NCELLS, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NCELLS, n), jnp.int32),
+            jax.ShapeDtypeStruct((NCELLS, n), jnp.int32),
+            jax.ShapeDtypeStruct((4, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        boards_cm,
+        legal_cm,
+        actions.astype(jnp.int32).reshape(1, n),
+    )
+    new_boards, pre, new_legal, reward = out
+    return new_boards, pre, new_legal, reward[0]
+
+
+def legal_to_cell_major(boards: jax.Array) -> jax.Array:
+    """int32[4, B] 0/1 legality of [B, 4, 4] boards (chunk-entry seed for
+    the carried legality of ``pallas_env_step``)."""
+    from t48.env import engine
+
+    cells = engine.split_cells(boards)
+    legal = engine.legal_cells(cells, K)
+    return jnp.stack([l.astype(jnp.int32) for l in legal], axis=0)
+
+
 def to_cell_major(boards: jax.Array) -> jax.Array:
     """[B, 4, 4] → int32[16, B]."""
     b = boards.shape[0]

@@ -57,7 +57,10 @@ expectation, and is *exactly* the reference scheme at env_batch=1.
 
 Documented divergences (both exact at env_batch=1):
 - effective capacity rounds up to ``B * ceil(N / B)``;
-- effective sample batch rounds to ``B * max(1, round(batch/B))``.
+- effective sample batch rounds to ``B * max(1, round(batch/B))``, and
+  with ``cap=True`` (the trainer's default) is then masked back down to
+  exactly ``batch_size`` contributing rows whenever the rounding would
+  exceed it — so the configured batch size holds at any env_batch.
 """
 
 from __future__ import annotations
@@ -73,13 +76,19 @@ _EXTRA_COLS = 5  # action, done, reward triple
 
 
 class Transition(NamedTuple):
-    """A batch of transitions, encoded (exponent boards flattened)."""
+    """A batch of transitions, encoded (exponent boards flattened).
+
+    ``weight`` is an optional per-row f32 loss weight attached by the
+    capped sampler (0 masks a surplus row, 1 keeps it); it is never
+    stored in the buffer — inserts leave it None.
+    """
 
     state: jax.Array  # int8[B, S]
     action: jax.Array  # int8/int32[B]
     reward: jax.Array  # f32[B]
     next_state: jax.Array  # int8[B, S]
     done: jax.Array  # bool[B]
+    weight: object = None  # optional f32[B] loss weight (capped sampling)
 
 
 def _bf16_triple(x: jax.Array):
@@ -246,26 +255,40 @@ def add_many(rs: ReplayState, transitions: Transition) -> ReplayState:
             x = np.concatenate([x, np.tile(x, (reps,) + (1,) * (x.ndim - 1))[:pad]])
         return x.reshape((steps, b) + x.shape[1:])
 
-    rows = Transition(*(pad_cycle(x) for x in transitions))
+    stored = transitions[:5]  # weight is never stored
+    rows = Transition(*(pad_cycle(x) for x in stored))
     for i in range(steps):
-        rs = add_step(rs, Transition(*(x[i] for x in rows)))
+        rs = add_step(rs, Transition(*(x[i] for x in rows[:5])))
     return rs
 
 
-def sample(rs: ReplayState, key: jax.Array, batch_size: int) -> Transition:
+def sample(
+    rs: ReplayState, key: jax.Array, batch_size: int, cap: bool = False
+) -> Transition:
     """Stratified uniform sampling with replacement: each env ring
     contributes ``sample_rows(batch_size, B)`` draws from its own live
     region (see module docstring for why this matches the reference's
     global uniform scheme, dqn_lib.py:67-70). The draw is a batched
     one-hot matmul on the MXU (f32 accumulation, bit-exact) — per-env,
-    aligned with the 'data' shard axis, no cross-device traffic. The
-    caller must ensure the buffer is non-empty (the training loop gates
-    the learner on a fill threshold); ``max(fill, 1)`` guards the
-    degenerate empty case.
+    aligned with the 'data' shard axis, no cross-device traffic.
+
+    The training loop may call this speculatively every iteration, even
+    on an empty buffer: ``max(fill, 1)`` plus the zero-initialized rows
+    make the degenerate draw benign (the loop's select-merge discards
+    the resulting update).
+
+    ``cap=True``: when the stratified draw exceeds ``batch_size`` rows
+    (env_batch > batch_size forces ≥1 draw/env), attach a 0/1 ``weight``
+    masking a uniformly-rotated subset down to EXACTLY ``batch_size``
+    contributing rows, so the effective learner batch no longer silently
+    inflates with the parallelism degree. The rotation offset is uniform,
+    giving every env equal marginal inclusion probability; the mask is
+    computed from an iota — still shard-local, no gather.
     """
     b, m = rs.rows.shape[:2]
     s = sample_rows(batch_size, b)
-    idx = jax.random.randint(key, (b, s), 0, jnp.maximum(rs.fill, 1))
+    k_idx, k_off = jax.random.split(key)
+    idx = jax.random.randint(k_idx, (b, s), 0, jnp.maximum(rs.fill, 1))
     onehot = (idx[..., None] == jnp.arange(m)).astype(jnp.bfloat16)
     flat = jnp.einsum(
         "bsm,bmr->bsr",
@@ -273,4 +296,10 @@ def sample(rs: ReplayState, key: jax.Array, batch_size: int) -> Transition:
         rs.rows,
         preferred_element_type=jnp.float32,
     ).reshape(b * s, rs.rows.shape[-1])
-    return _decode_rows(flat)
+    out = _decode_rows(flat)
+    n = b * s
+    if cap and n > batch_size:
+        offset = jax.random.randint(k_off, (), 0, n)
+        include = ((jnp.arange(n) + offset) % n) < batch_size
+        out = out._replace(weight=include.astype(jnp.float32))
+    return out

@@ -21,9 +21,13 @@ reference's —
   ε, number_moves} (experiments.py:112-122, dqn_lib.py:204-207).
 
 With ``env_batch == B`` the same rules apply to the global episode counter;
-multiple episodes may complete per iteration, in which case the learner
-still fires once (the batched analogue of once-per-episode; documented
-divergence).
+multiple episodes may complete per iteration. Learner updates are
+deficit-driven: each update consumes one owed completed episode and up to
+``config.max_updates_per_iteration`` updates run per iteration, so with
+max_updates ≥ B/mean_episode_len the reference's one-update-per-episode
+cadence holds exactly at any batch (unconsumed episodes carry over); with
+fewer, the update:episode ratio is max_updates·mean_episode_len/B
+(documented divergence, a tunable compute/fidelity knob).
 
 Documented divergence — episode numbering: the reference numbers episodes
 by *start* order (the loop index, dqn_lib.py:174); here an episode's
@@ -151,6 +155,72 @@ class SnapshotStream(NamedTuple):
     done: jax.Array  # bool[T]
 
 
+@struct.dataclass
+class CMEnvState:
+    """Cell-major env carry for the Pallas in-loop step: boards as
+    int32[16, B] (cells in sublanes, batch in lanes — the kernel's VMEM
+    layout) plus the CARRIED legality of those boards (computed by the
+    previous kernel call, consumed by this iteration's policy). Exists
+    only inside a train chunk; checkpoints and the public TrainState
+    carry the batch-major ``engine.EnvState``."""
+
+    boards_cm: jax.Array  # int32[16, B]
+    legal_cm: jax.Array  # int32[4, B] 0/1
+    merge_scores: jax.Array  # int32[B]
+    step_counts: jax.Array  # int32[B]
+
+
+def _to_cm_env(env: engine.EnvState) -> CMEnvState:
+    from t48.ops import pallas_step as ps
+
+    return CMEnvState(
+        boards_cm=ps.to_cell_major(env.boards),
+        legal_cm=ps.legal_to_cell_major(env.boards),
+        merge_scores=env.merge_scores,
+        step_counts=env.step_counts,
+    )
+
+
+def _from_cm_env(cme: CMEnvState, k: int) -> engine.EnvState:
+    return engine.EnvState(
+        boards=cme.boards_cm.T.reshape(-1, k, k),
+        merge_scores=cme.merge_scores,
+        step_counts=cme.step_counts,
+    )
+
+
+def resolve_env_backend(config: T48Config, mesh=None) -> str:
+    """Trace-time choice of the in-loop env step implementation.
+
+    'auto' → the fused Pallas kernel iff running on TPU with k=4 and a
+    per-shard batch the kernel can tile ((multiple of 1024) or (< 1024
+    and a multiple of 8)); the XLA engine otherwise (CPU tests, the
+    virtual-device dry run, odd shapes).
+    """
+    if config.env_backend != "auto":
+        return config.env_backend
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    n_shards = 1 if mesh is None else int(np_prod_mesh(mesh))
+    per_shard = config.env_batch // max(n_shards, 1)
+    tileable = (per_shard % 1024 == 0) or (
+        per_shard < 1024 and per_shard % 8 == 0 and per_shard > 0
+    )
+    ok = (
+        on_tpu
+        and config.board_k == 4
+        and config.env_batch % max(n_shards, 1) == 0
+        and tileable
+    )
+    return "pallas" if ok else "xla"
+
+
+def np_prod_mesh(mesh) -> int:
+    return int(mesh.shape.get("data", 1))
+
+
 def encoder_for(arch: str, k: int) -> Callable:
     """Encoder from *flat int8 exponent* storage to network input."""
     if arch == "dense":
@@ -160,6 +230,39 @@ def encoder_for(arch: str, k: int) -> Callable:
             flat.shape[0], k, k, 1
         )
     raise ValueError(arch)
+
+
+def build_net(config: T48Config):
+    """The config's Q-network (compute dtype per ``config.compute_dtype``;
+    params stay f32)."""
+    return networks.build_network(
+        config.arch, networks.dtype_of(config.compute_dtype)
+    )
+
+
+def build_optimizer(config: T48Config) -> optax.GradientTransformation:
+    """The config's optimizer. ``learner_flat_adam`` wraps Adam in
+    ``optax.flatten``: moments live in ONE flat vector, so the update is
+    a single fused elementwise pass instead of ~8 leaves × ~6 ops each
+    (measured ~1.3× on the update, scripts/learner_microbench.py)."""
+    opt = optax.adam(config.learning_rate)
+    if config.learner_flat_adam:
+        opt = optax.flatten(opt)
+    return opt
+
+
+def build_train_step(config: T48Config) -> Callable:
+    """The config's jittable learner update (t48/agent/learner.py)."""
+    net = build_net(config)
+    return learner_lib.make_train_step(
+        net.apply,
+        encoder_for(config.arch, config.board_k),
+        build_optimizer(config),
+        config.discount_factor,
+        config.use_double_dqn,
+        config.compat_zero_update,
+        config.learner_fused_apply,
+    )
 
 
 def create_train_state(
@@ -181,9 +284,9 @@ def create_train_state(
     if key is None:
         key = jax.random.PRNGKey(config.seed)
     cells = config.board_k * config.board_k
-    net = networks.build_network(config.arch)
+    net = build_net(config)
     encode = encoder_for(config.arch, config.board_k)
-    optimizer = optax.adam(config.learning_rate)
+    optimizer = build_optimizer(config)
 
     def _create(key):
         k_params, k_env, k_run = jax.random.split(key, 3)
@@ -222,6 +325,7 @@ def create_train_state(
 def make_train_iteration(
     config: T48Config,
     *,
+    mesh=None,
     with_policy: bool = True,
     with_replay: bool = True,
     with_learner: bool = True,
@@ -232,6 +336,14 @@ def make_train_iteration(
     One iteration = one lockstep env step for all B envs + episode
     accounting + (conditionally) one learner update + target sync.
 
+    Two env-step backends (``resolve_env_backend``): the XLA engine
+    (t48/env/engine.py), and on TPU the fused Pallas kernel
+    (t48/ops/pallas_step.py) with the env carried cell-major; the Pallas
+    path expects ``state.env`` to be a ``CMEnvState`` (``make_train_chunk``
+    converts at chunk entry/exit). Under a mesh the kernel runs inside
+    ``jax.shard_map`` over the 'data' axis — each device steps only its
+    own env shard, zero cross-device traffic.
+
     The ``with_*`` flags ablate pipeline stages for the phase-breakdown
     benchmark (t48/analysis/bench.py): ``with_policy=False`` steps with a
     uniform random-legal policy (no network forward); ``with_replay`` /
@@ -239,20 +351,41 @@ def make_train_iteration(
     + target sync, and the episode-ring writes respectively. Training
     always uses the defaults (everything on).
     """
-    net = networks.build_network(config.arch)
+    net = build_net(config)
     encode = encoder_for(config.arch, config.board_k)
-    optimizer = optax.adam(config.learning_rate)
-    train_step = learner_lib.make_train_step(
-        net.apply,
-        encode,
-        optimizer,
-        config.discount_factor,
-        config.use_double_dqn,
-        config.compat_zero_update,
-    )
+    train_step = build_train_step(config)
     batch = config.env_batch
     cells = config.board_k * config.board_k
     log_size = effective_log_size(config)
+    backend = resolve_env_backend(config, mesh)
+
+    if backend == "pallas":
+        from t48.ops import pallas_step as ps
+
+        if mesh is None:
+            kernel_step = ps.pallas_env_step
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def _local_step(bcm, lcm, act, seed):
+                # distinct PRNG stream per shard
+                seed = seed + jax.lax.axis_index("data").astype(
+                    jnp.int32
+                ) * jnp.int32(1_000_003)
+                return ps.pallas_env_step(bcm, lcm, act, seed)
+
+            kernel_step = jax.shard_map(
+                _local_step,
+                mesh=mesh,
+                in_specs=(P(None, "data"), P(None, "data"), P("data"), P()),
+                out_specs=(
+                    P(None, "data"),
+                    P(None, "data"),
+                    P(None, "data"),
+                    P("data"),
+                ),
+                check_vma=False,
+            )
 
     def iteration(state: TrainState):
         rng, k_step, k_reset, k_sample = jax.random.split(state.rng, 4)
@@ -265,26 +398,69 @@ def make_train_iteration(
             config.no_episodes_to_fill_up_existing_model_replay_buffer,
         )
 
-        # ---- fused env step: merges computed once, policy forward runs
-        # between legality and move-select, no [B,4,K,K] materialization
-        def policy_fn(k_pol, boards, legal):
-            flat = boards.reshape(batch, cells).astype(jnp.int8)
+        def choose(k_pol, flat, legal):
+            """(actions, max_q) from flat int8[B,S] boards + legality."""
             if not with_policy:  # bench ablation: uniform random-legal
                 scores = jax.random.uniform(k_pol, legal.shape)
                 actions = jnp.argmax(
                     jnp.where(legal, scores, -1.0), -1
                 ).astype(jnp.int32)
-                return actions, (flat, jnp.zeros((batch,), jnp.float32))
+                return actions, jnp.zeros((batch,), jnp.float32)
             q_values = net.apply(state.params, encode(flat))
-            actions, max_q = policy_lib.epsilon_greedy(
+            return policy_lib.epsilon_greedy(
                 k_pol, q_values, legal, eps, config.policy_compat
             )
-            return actions, (flat, max_q)
 
-        new_env, actions, reward, done_pre, legal, (flat, max_q) = (
-            engine.env_step(state.env, policy_fn, k_step, config.p_four)
-        )
-        next_flat = new_env.boards.reshape(batch, cells).astype(jnp.int8)
+        if backend == "pallas":
+            # ---- fused Pallas env step: legality is CARRIED (computed by
+            # the previous iteration's kernel), the kernel applies the
+            # chosen move, spawns, auto-resets and emits next legality —
+            # one VMEM-resident pass instead of ~350 lane-starved XLA ops.
+            cme: CMEnvState = state.env
+            legal = (cme.legal_cm != 0).T  # [B, 4]
+            done_pre = ~legal.any(-1)
+            flat = cme.boards_cm.T.astype(jnp.int8)  # [B, S]
+            actions, max_q = choose(k_step, flat, legal)
+            seed = (
+                state.env_steps * jnp.int32(-1640531527)  # odd (Weyl) step
+                + jnp.int32((config.seed * 9973 + 12345) & 0x7FFFFFFF)
+            )
+            new_cm, pre_cm, new_legal_cm, reward = kernel_step(
+                cme.boards_cm, cme.legal_cm, actions, seed
+            )
+            next_flat = pre_cm.T.astype(jnp.int8)
+            log_merge = cme.merge_scores + reward
+            log_steps = cme.step_counts + 1
+            done = done_pre
+            max_exp = next_flat.astype(jnp.int32).max(-1)
+            log_max_tile = jnp.where(
+                max_exp > 0, jnp.left_shift(jnp.int32(1), max_exp), 0
+            )
+            env_out = CMEnvState(
+                boards_cm=new_cm,
+                legal_cm=new_legal_cm,
+                merge_scores=jnp.where(done, 0, log_merge),
+                step_counts=jnp.where(done, 0, log_steps),
+            )
+        else:
+            # ---- fused XLA env step: merges computed once, policy forward
+            # runs between legality and move-select
+            def policy_fn(k_pol, boards, legal):
+                flat = boards.reshape(batch, cells).astype(jnp.int8)
+                actions, max_q = choose(k_pol, flat, legal)
+                return actions, (flat, max_q)
+
+            new_env, actions, reward, done_pre, legal, (flat, max_q) = (
+                engine.env_step(state.env, policy_fn, k_step, config.p_four)
+            )
+            next_flat = new_env.boards.reshape(batch, cells).astype(jnp.int8)
+            log_merge = new_env.merge_scores
+            log_steps = new_env.step_counts
+            done = done_pre
+            log_max_tile = engine.max_tile(new_env.boards)
+            env_out = engine.reset_where(
+                new_env, done, k_reset, config.p_four
+            )
 
         # ---- replay append (encode-at-insert)
         if with_replay:
@@ -301,13 +477,12 @@ def make_train_iteration(
 
         # ---- per-episode accumulators (means logged at episode end)
         ep_reward_sum = state.ep_reward_sum + reward.astype(jnp.float32)
-        ep_q_sum = state.ep_q_sum + max_q
+        ep_q_sum = state.ep_q_sum + max_q.astype(jnp.float32)
 
         # ---- episode completion accounting
-        done = done_pre
         n_done = done.sum().astype(jnp.int32)
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1  # order within batch
-        steps_f = jnp.maximum(new_env.step_counts.astype(jnp.float32), 1.0)
+        steps_f = jnp.maximum(log_steps.astype(jnp.float32), 1.0)
         log = state.log
         if with_log:
             bits = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
@@ -315,13 +490,13 @@ def make_train_iteration(
             )
             payload = jnp.stack(
                 [
-                    engine.max_tile(new_env.boards),
-                    new_env.merge_scores,
+                    log_max_tile,
+                    log_merge,
                     state.episodes_done + rank,
                     bits(ep_reward_sum / steps_f),
                     bits(ep_q_sum / steps_f),
                     jnp.broadcast_to(bits(eps), (batch,)),
-                    new_env.step_counts,
+                    log_steps,
                 ],
                 axis=-1,
             )  # [B, 7]
@@ -337,42 +512,90 @@ def make_train_iteration(
             )
         episodes_done = state.episodes_done + n_done
 
-        # ---- reset finished envs, zero their accumulators
-        env = engine.reset_where(new_env, done, k_reset, config.p_four)
+        # ---- zero finished envs' accumulators (boards already reset)
         ep_reward_sum = jnp.where(done, 0.0, ep_reward_sum)
         ep_q_sum = jnp.where(done, 0.0, ep_q_sum)
+        env = env_out
 
-        # ---- learner: once per completed episode past the warmup gate
+        # ---- learner: once per completed episode past the warmup gate.
+        # Updates are DEFICIT-DRIVEN: each consumes one owed episode
+        # (last_train_episodes += 1), up to max_updates_per_iteration per
+        # iteration — the batched generalization of the reference's
+        # train-once-per-episode (dqn_lib.py:213-226). At env_batch=1 the
+        # cadence is step-for-step the reference's; at env_batch=B setting
+        # max_updates ≥ B/mean_episode_len recovers 1 update/episode
+        # exactly (unconsumed episodes carry over between iterations).
         if with_learner:
-            should_train = (
-                (episodes_done > config.no_episodes_before_training)
-                & (episodes_done > state.last_train_episodes)
-                & (replay.fill > 0)
-            )
+            gate = jnp.int32(config.no_episodes_before_training)
+            n_up = max(1, config.max_updates_per_iteration)
 
-            # Unconditional update + select-merge instead of ``lax.cond``:
-            # at large env_batch an episode completes nearly every iteration
-            # so the branch is ~always taken, and the cond's branch
-            # machinery (per-leaf result copies, a fusion barrier in the
-            # scan body) measured ~3x the cost of the update itself
-            # (scripts/learner_microbench.py: 162µs isolated vs 527µs/iter
-            # in-loop on v5e at env_batch=4096). The selects fuse into the
-            # update's own elementwise ops.
-            sampled = replay_lib.sample(replay, k_sample, config.batch_size)
-            out = train_step(
-                state.params, state.target_params, state.opt_state, sampled
+            def run_updates(carry, keys):
+                def one_update(carry, k_s):
+                    params, opt_state, last_train, train_steps, last_loss = carry
+                    # episodes at or before the warmup gate are never owed
+                    owed_from = jnp.maximum(last_train, gate)
+                    should = (owed_from < episodes_done) & (replay.fill > 0)
+                    # Unconditional update + select-merge instead of a
+                    # per-update ``lax.cond``: at large env_batch an episode
+                    # completes nearly every iteration so the branch is
+                    # ~always taken, and cond's branch machinery (per-leaf
+                    # result copies, a fusion barrier in the scan body)
+                    # measured ~3x the cost of the update itself
+                    # (scripts/learner_microbench.py). The selects fuse into
+                    # the update's own elementwise ops.
+                    sampled = replay_lib.sample(
+                        replay, k_s, config.batch_size,
+                        cap=config.learner_batch_cap,
+                    )
+                    out = train_step(
+                        params, state.target_params, opt_state, sampled
+                    )
+                    keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+                        lambda n, o: jnp.where(should, n, o), new, old
+                    )
+                    return (
+                        keep(out.params, params),
+                        keep(out.opt_state, opt_state),
+                        jnp.where(should, owed_from + 1, last_train),
+                        train_steps + should.astype(jnp.int32),
+                        jnp.where(should, out.loss, last_loss),
+                    ), None
+
+                if n_up == 1:
+                    return one_update(carry, keys[0])[0]
+                return jax.lax.scan(one_update, carry, keys)[0]
+
+            carry0 = (
+                state.params,
+                state.opt_state,
+                state.last_train_episodes,
+                state.train_steps,
+                state.last_loss,
             )
-            keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
-                lambda n, o: jnp.where(should_train, n, o), new, old
-            )
-            params = keep(out.params, state.params)
-            opt_state = keep(out.opt_state, state.opt_state)
-            loss = jnp.where(should_train, out.loss, state.last_loss)
+            update_keys = jax.random.split(k_sample, n_up)
+            if config.env_batch < 256:
+                # Trace-time strategy gate: at small env_batch episodes
+                # complete only every few hundred iterations, so the
+                # speculative update would waste a full batch_size learner
+                # step nearly every iteration (and run all through the
+                # warmup). ``lax.cond`` skips the whole update block when
+                # nothing is owed; at env_batch ≥ 256 an episode completes
+                # almost every iteration (mean episode ≈ 144 steps) and
+                # the speculative select-merge path wins.
+                any_owed = (
+                    jnp.maximum(state.last_train_episodes, gate)
+                    < episodes_done
+                ) & (replay.fill > 0)
+                carry = jax.lax.cond(
+                    any_owed,
+                    lambda c: run_updates(c, update_keys),
+                    lambda c: c,
+                    carry0,
+                )
+            else:
+                carry = run_updates(carry0, update_keys)
+            params, opt_state, last_train_episodes, train_steps, loss = carry
             target_params = state.target_params
-            train_steps = state.train_steps + should_train.astype(jnp.int32)
-            last_train_episodes = jnp.where(
-                should_train, episodes_done, state.last_train_episodes
-            )
 
             # ---- hard target sync on crossing each sync-period multiple
             sync_every = config.no_episodes_before_updating_target
@@ -441,15 +664,21 @@ def make_train_chunk(config: T48Config, mesh=None, **ablation_flags) -> Callable
 
     Keyword flags pass through to ``make_train_iteration`` (bench
     ablations only)."""
-    iteration = make_train_iteration(config, **ablation_flags)
+    iteration = make_train_iteration(config, mesh=mesh, **ablation_flags)
+    use_cm = resolve_env_backend(config, mesh) == "pallas"
 
     def chunk(state: TrainState):
         state = state.replace(
             log=state.log.replace(count=jnp.zeros_like(state.log.count))
         )
-        return jax.lax.scan(
+        if use_cm:  # Pallas env backend: carry the env cell-major in-chunk
+            state = state.replace(env=_to_cm_env(state.env))
+        state, snaps = jax.lax.scan(
             lambda s, _: iteration(s), state, None, length=config.chunk_iters
         )
+        if use_cm:
+            state = state.replace(env=_from_cm_env(state.env, config.board_k))
+        return state, snaps
 
     if mesh is None:
         return jax.jit(chunk)

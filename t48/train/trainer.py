@@ -20,7 +20,12 @@ import jax
 import numpy as np
 
 from t48.configs.presets import T48Config
-from t48.exp.checkpoint import restore_checkpoint, save_checkpoint
+from t48.exp.checkpoint import (
+    AsyncCheckpointer,
+    restore_checkpoint,
+    restore_from_shards,
+    save_process_shards,
+)
 from t48.exp.experiment import Experiment
 from t48.train import loop as loop_lib
 from t48.utils.tracing import ThroughputMeter
@@ -51,6 +56,59 @@ class NullExperiment:
 
     def close(self) -> None:
         pass
+
+
+class ChunkWatchdog:
+    """Multi-host failure detector (SURVEY.md §5).
+
+    A peer process dying mid-run leaves the survivors blocked forever
+    inside their next collective (the runtime has no timeout on CPU/Gloo
+    and a very long one on TPU). The watchdog arms a timer around every
+    chunk; if a chunk overruns the budget it assumes peer failure, dumps
+    this process's addressable shards collective-free
+    (``save_process_shards`` — the previous chunk's state is already
+    materialized, so the host transfer does not queue behind the wedged
+    collective) and exits. A secondary timer hard-exits in case the dump
+    itself wedges. Exit codes: 42 dump written, 43 dump timed out.
+    """
+
+    def __init__(self, timeout_s: float, directory: str):
+        import threading
+
+        self._threading = threading
+        self.timeout_s = timeout_s
+        self.directory = directory
+        self._timer = None
+        self._state = None
+
+    def arm(self, state) -> None:
+        self.disarm()
+        self._state = state
+        self._timer = self._threading.Timer(self.timeout_s, self._fire)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def disarm(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
+
+    def _fire(self) -> None:
+        print(
+            f"[t48] watchdog: chunk exceeded {self.timeout_s}s — assuming "
+            f"peer failure; dumping shards to {self.directory}",
+            flush=True,
+        )
+        killer = self._threading.Timer(
+            max(self.timeout_s, 30.0), lambda: os._exit(43)
+        )
+        killer.daemon = True
+        killer.start()
+        try:
+            save_process_shards(self.directory, self._state)
+            print("[t48] watchdog: shard dump complete", flush=True)
+        finally:
+            os._exit(42)
 
 
 class SnapshotAssembler:
@@ -93,6 +151,65 @@ class SnapshotAssembler:
                 self.current = []
 
 
+def latest_job(root_dir: str) -> str:
+    """Resume-from-latest auto-discovery: the most recently saved job
+    folder under ``root_dir`` (newest ``binary/checkpoint.npz`` or
+    emergency shard dump). Deterministic across processes sharing the
+    filesystem."""
+    import glob
+
+    candidates = []
+    for pattern in ("*/binary/checkpoint.npz", "*/binary/emergency"):
+        for f in glob.glob(os.path.join(root_dir, pattern)):
+            candidates.append(
+                (os.path.getmtime(f),
+                 os.path.relpath(f, root_dir).split(os.sep)[0])
+            )
+    if not candidates:
+        raise FileNotFoundError(
+            f"no resumable job (binary/checkpoint.npz or binary/emergency) "
+            f"under {root_dir!r}"
+        )
+    return max(candidates)[1]
+
+
+def load_resume_state(job_dir: str, template):
+    """Restore a job's training state, preferring whichever of the
+    regular checkpoint and the emergency shard dump is newer.
+
+    Returns (state, description). Emergency restores may be partial —
+    leaves whose shard ranges are missing (a process died before
+    writing) keep the template's fresh values; they are listed in the
+    description."""
+    ckpt = os.path.join(job_dir, "binary/checkpoint.npz")
+    emergency = os.path.join(job_dir, "binary/emergency")
+    t_ckpt = os.path.getmtime(ckpt) if os.path.exists(ckpt) else None
+    has_em = os.path.isdir(emergency) and any(
+        f.startswith("shards.proc") for f in os.listdir(emergency)
+    )
+    t_em = (
+        max(
+            os.path.getmtime(os.path.join(emergency, f))
+            for f in os.listdir(emergency)
+            if f.startswith("shards.proc")
+        )
+        if has_em
+        else None
+    )
+    if t_ckpt is None and t_em is None:
+        raise FileNotFoundError(f"no checkpoint under {job_dir}")
+    if t_em is not None and (t_ckpt is None or t_em > t_ckpt):
+        state, missing = restore_from_shards(emergency, template)
+        desc = "emergency shard dump"
+        if missing:
+            desc += (
+                f" (partial: {len(missing)} leaves incomplete, kept fresh "
+                f"values: {[m.split('[')[0] for m in missing[:4]]}...)"
+            )
+        return state, desc
+    return restore_checkpoint(ckpt, template), "checkpoint.npz"
+
+
 def seed_replay_from_search(state, config: T48Config):
     """A*-seeded replay warm-start (reference: double_dqn_conv_sss.py:65 →
     state_space_search.py:104-131), with the reference's state/next_state
@@ -130,7 +247,21 @@ def train(
     can read, the standard TPU-pod arrangement).
     """
     coordinator = jax.process_index() == 0
+    multiprocess = jax.process_count() > 1
     verbose = verbose and coordinator
+    if resume and job_name is None:
+        # resume-from-latest auto-discovery (deterministic across
+        # processes: same shared filesystem, same newest-mtime winner)
+        job_name = latest_job(root_dir)
+        if verbose:
+            print(f"Resuming latest job: {job_name}")
+    if multiprocess and job_name is None:
+        raise ValueError(
+            "multi-host training needs an explicit job_name: the "
+            "coordinator's auto-generated exp_{n}_{hash} folder name is "
+            "not knowable by the other processes (they must locate the "
+            "job dir for emergency shard dumps and resume)"
+        )
     if coordinator:
         experiment = Experiment(
             root_dir=root_dir, folder_name=job_name, resumed=resume, config=config
@@ -138,6 +269,9 @@ def train(
         experiment.add_hyperparameter(config.hyperparams_dict())
     else:
         experiment = NullExperiment()
+    job_dir = experiment.folder if coordinator else os.path.join(
+        root_dir, job_name
+    )
 
     mesh = None
     if data_parallel is not None:
@@ -155,13 +289,14 @@ def train(
     if resume:
         # every process restores the host-global checkpoint, then places
         # only its own shards (make_array_from_callback inside
-        # distribute_train_state) — multi-host-safe
-        ckpt_path = os.path.join(
-            root_dir, job_name, "binary/checkpoint.npz"
-        ) if not coordinator else experiment.checkpoint_path
-        state = restore_checkpoint(
-            ckpt_path, loop_lib.create_train_state(config)
+        # distribute_train_state) — multi-host-safe. Prefers the newer of
+        # the regular checkpoint and an emergency shard dump (partial
+        # restores keep fresh values for missing shard ranges).
+        state, source = load_resume_state(
+            job_dir, loop_lib.create_train_state(config)
         )
+        if verbose:
+            print(f"Restored from {source}")
         if mesh is not None:
             from t48.distrib import distribute_train_state
 
@@ -203,11 +338,13 @@ def train(
     meter = ThroughputMeter()
     meter.update(int(state.env_steps), int(state.episodes_done))
 
-    multiprocess = jax.process_count() > 1
+    checkpointer = AsyncCheckpointer()
 
     def _save_all():
-        # the gather is a collective — every process must run it before
-        # process 0 writes the checkpoint
+        # HAPPY-PATH save: the gather is a collective — every process must
+        # run it (all reach this point together between chunks). The host
+        # transfer + npz write then run on the checkpointer's thread,
+        # overlapped with the next chunk (no save-boundary stall).
         ckpt_state = state
         if mesh is not None and multiprocess:
             from t48.distrib import fully_replicated
@@ -215,11 +352,48 @@ def train(
             ckpt_state = fully_replicated(state, mesh)
         if coordinator:
             experiment.save()
-            save_checkpoint(experiment.checkpoint_path, ckpt_state)
+            checkpointer.save(experiment.checkpoint_path, ckpt_state)
+
+    def _emergency_save():
+        # FAILURE-PATH save: collective-free. Whichever processes are
+        # still alive each dump the shards they can address; params and
+        # counters are replicated so any single survivor preserves the
+        # model (t48/exp/checkpoint.py shard-dump design note).
+        if multiprocess:
+            d = save_process_shards(
+                os.path.join(job_dir, "binary", "emergency"), state
+            )
+            print(f"[t48] emergency shard dump written: {d}")
+        else:
+            _save_all()
+        if coordinator:
+            experiment.save()
+
+    # fault injection (SURVEY.md §5 failure-detection aux): raise at a
+    # chosen episode count to exercise the emergency save path in tests
+    fault_at = int(os.environ.get("T48_FAULT_INJECT_EPISODES", "0") or 0)
+
+    watchdog = None
+    if config.watchdog_timeout_s and multiprocess:
+        watchdog = ChunkWatchdog(
+            config.watchdog_timeout_s,
+            os.path.join(job_dir, "binary", "emergency"),
+        )
 
     try:
         while int(state.episodes_done) < target_episodes:
+            if watchdog is not None:
+                watchdog.arm(state)
             state, snapshot = chunk(state)
+            drained = int(state.episodes_done)  # forces chunk completion
+            if watchdog is not None:
+                watchdog.disarm()
+            del drained
+            if fault_at and int(state.episodes_done) >= fault_at:
+                raise RuntimeError(
+                    f"fault injection: episodes_done="
+                    f"{int(state.episodes_done)} >= {fault_at}"
+                )
             episodes = []
             if coordinator:
                 episodes, dropped = loop_lib.drain_episode_log(state.log)
@@ -262,11 +436,14 @@ def train(
             f"\nKeyboard interrupt caught. Saving current experiment in "
             f"{experiment.folder}"
         )
-        _save_all()
+        _emergency_save()
     except Exception:
-        _save_all()
+        _emergency_save()
         print(f"\nSaving current experiment in {experiment.folder}\n")
         raise
     finally:
+        if watchdog is not None:
+            watchdog.disarm()
+        checkpointer.flush()
         experiment.close()
     return state, experiment

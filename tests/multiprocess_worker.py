@@ -25,6 +25,7 @@ def main() -> int:
         sys.argv[3],
         sys.argv[4],
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
 
     # the container's sitecustomize imports jax at interpreter startup, so
     # the platform/device-count must be forced through the live config
@@ -63,6 +64,28 @@ def main() -> int:
         snapshot_game_every_n_episodes=16,
         seed=0,
     )
+    if mode == "failtest":
+        # one-process-failure drill: this process has
+        # T48_FAULT_INJECT_EPISODES set (the test sets it for pid 1 only);
+        # train() must NOT deadlock — the failing process dumps its
+        # addressable shards collective-free, the survivor errors out of
+        # its next collective and dumps its own.
+        cfg_fail = cfg.replace(no_episodes=100_000, watchdog_timeout_s=45.0)
+        try:
+            train(
+                cfg_fail, root_dir=root, job_name="mp_job",
+                verbose=False, data_parallel=0,
+            )
+        except BaseException as e:
+            print(f"FAILED_AS_EXPECTED:{type(e).__name__}", flush=True)
+            # skip the interpreter's atexit distributed shutdown: it would
+            # block on a barrier with the (wedged) peer and this process's
+            # exit code would then be clobbered by the coordination
+            # service's LOG(FATAL) teardown
+            os._exit(17)
+        print("COMPLETED_UNEXPECTEDLY", flush=True)
+        os._exit(18)
+
     state, experiment = train(
         cfg, root_dir=root, job_name="mp_job", verbose=False, data_parallel=0
     )

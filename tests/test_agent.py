@@ -240,7 +240,7 @@ class TestLearner:
         """Doubling the batch (by concat) doubles the loss (MSE-sum)."""
         net, encode, params, target_params, opt, opt_state, step = self._setup()
         b1 = self._batch(16)
-        b2 = buffer.Transition(*(jnp.concatenate([x, x]) for x in b1))
+        b2 = buffer.Transition(*(jnp.concatenate([x, x]) for x in b1[:5]))
         l1 = learner.td_loss(net.apply, params, target_params, encode, b1, 0.9)
         l2 = learner.td_loss(net.apply, params, target_params, encode, b2, 0.9)
         assert float(l2) == pytest.approx(2 * float(l1), rel=1e-5)

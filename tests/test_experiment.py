@@ -224,6 +224,148 @@ class TestCheckpoint:
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestAsyncCheckpointer:
+    def test_overlapped_save_matches_sync(self, tmp_path):
+        from t48.exp.checkpoint import AsyncCheckpointer
+
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        sync_path = str(tmp_path / "sync.npz")
+        async_path = str(tmp_path / "async.npz")
+        save_checkpoint(sync_path, state)
+        ck = AsyncCheckpointer()
+        ck.save(async_path, state)
+        ck.flush()
+        with np.load(sync_path) as a, np.load(async_path) as b:
+            assert set(a.files) == set(b.files)
+            for f in a.files:
+                assert np.array_equal(a[f], b[f]), f
+
+    def test_error_surfaces_on_flush(self, tmp_path):
+        from t48.exp.checkpoint import AsyncCheckpointer
+
+        ck = AsyncCheckpointer()
+        ck.save(str(tmp_path / "nodir" * 60 // 1 if False else "/proc/denied/x.npz"),
+                {"a": np.zeros(3)})
+        with pytest.raises(BaseException):
+            ck.flush()
+
+
+class TestShardDump:
+    def test_roundtrip_single_process(self, tmp_path):
+        """Dump + reassemble with full coverage (all shards local)."""
+        from t48.exp.checkpoint import restore_from_shards, save_process_shards
+
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        d = str(tmp_path / "emergency")
+        save_process_shards(d, state)
+        restored, missing = restore_from_shards(
+            d, loop_lib.create_train_state(cfg)
+        )
+        assert missing == []
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state),
+            jax.tree_util.tree_leaves(restored),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_roundtrip_sharded_state(self, tmp_path):
+        """Dump a mesh-sharded state: per-device shards reassemble."""
+        from t48.distrib import distribute_train_state, make_mesh
+        from t48.exp.checkpoint import restore_from_shards, save_process_shards
+
+        cfg = tiny_config(env_batch=16)
+        mesh = make_mesh()
+        chunk = loop_lib.make_train_chunk(cfg)
+        state = distribute_train_state(
+            loop_lib.create_train_state(cfg), mesh, cfg
+        )
+        state, _ = chunk(state)
+        d = str(tmp_path / "emergency")
+        save_process_shards(d, state)
+        restored, missing = restore_from_shards(
+            d, loop_lib.create_train_state(cfg)
+        )
+        assert missing == []
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state),
+            jax.tree_util.tree_leaves(restored),
+        ):
+            assert np.array_equal(
+                np.asarray(jax.device_get(a)), np.asarray(b)
+            )
+
+    def test_partial_coverage_reported(self, tmp_path):
+        """Missing shard ranges (a dead process) keep template values and
+        are reported; replicated leaves stay complete."""
+        from t48.exp.checkpoint import restore_from_shards, save_process_shards
+
+        cfg = tiny_config()
+        state = loop_lib.create_train_state(cfg)
+        d = str(tmp_path / "emergency")
+        path = save_process_shards(d, state)
+        # simulate a lost process: drop half of every env-sharded leaf
+        with np.load(path) as data:
+            kept = {}
+            for f in data.files:
+                if f.endswith("__idx0") or f.endswith("__shard0"):
+                    kept[f] = data[f]
+            # truncate the boards leaf's coverage to rows [0, B//2)
+            bkeys = [k for k in kept if ".env.boards__idx0" in k]
+            assert bkeys
+            for k in bkeys:
+                kept[k] = kept[k].copy()
+                kept[k][0, 1] = cfg.env_batch // 2
+                skey = k.replace("__idx0", "__shard0")
+                kept[skey] = kept[skey][: cfg.env_batch // 2]
+        np.savez(path, **kept)
+        restored, missing = restore_from_shards(
+            d, loop_lib.create_train_state(cfg)
+        )
+        assert any(".env.boards" in m for m in missing)
+        assert not any(m.startswith(".params") for m in missing)
+        assert np.array_equal(
+            np.asarray(restored.env.boards[: cfg.env_batch // 2]),
+            np.asarray(state.env.boards[: cfg.env_batch // 2]),
+        )
+
+
+class TestFailurePath:
+    def test_fault_injection_leaves_resumable_job(self, tmp_path, monkeypatch):
+        """Single-process fault injection: the exception path saves, and
+        resume-from-latest auto-discovery + load_resume_state pick it up."""
+        from t48.train.trainer import latest_job, load_resume_state
+
+        cfg = tiny_config(no_episodes=100_000)
+        monkeypatch.setenv("T48_FAULT_INJECT_EPISODES", "10")
+        with pytest.raises(RuntimeError, match="fault injection"):
+            train(cfg, root_dir=str(tmp_path), job_name="faulty", verbose=False)
+        monkeypatch.delenv("T48_FAULT_INJECT_EPISODES")
+        assert latest_job(str(tmp_path)) == "faulty"
+        state, source = load_resume_state(
+            str(tmp_path / "faulty"), loop_lib.create_train_state(cfg)
+        )
+        assert int(state.episodes_done) >= 10
+
+    def test_resume_latest_via_train(self, tmp_path):
+        """train(resume=True) with no job name resumes the newest job."""
+        cfg = tiny_config(no_episodes=12)
+        train(cfg, root_dir=str(tmp_path), job_name="older", verbose=False)
+        train(cfg, root_dir=str(tmp_path), job_name="newer", verbose=False)
+        os.utime(
+            str(tmp_path / "newer" / "binary" / "checkpoint.npz"), None
+        )
+        state, exp = train(
+            cfg.replace(no_episodes=20),
+            root_dir=str(tmp_path),
+            resume=True,
+            verbose=False,
+        )
+        assert os.path.basename(exp.folder) == "newer"
+        assert int(state.episodes_done) >= 20
+
+
 class TestTrainerEndToEnd:
     def test_full_tiny_run(self, tmp_path):
         cfg = tiny_config()
@@ -274,3 +416,38 @@ class TestAnalysis:
         total_pct = sum(v["percent"] for v in freq.values())
         assert total_pct == pytest.approx(100.0, abs=1.0)
         assert os.path.isfile(os.path.join(exp.folder, "analysis.json"))
+        # vs-reference comparison is part of every report
+        cmp = report["vs_reference"]
+        assert cmp["truncated"]  # tiny run < 17,758-episode checkpoint
+        assert any(r["reference_count"] == 7344 for r in cmp["rows"])
+        ours_total = sum(r["ours_count"] for r in cmp["rows"])
+        assert ours_total == cmp["checkpoint_episodes"]
+
+    def test_vs_reference_formatting(self):
+        from t48.analysis.report import (
+            compare_to_reference,
+            format_reference_comparison,
+        )
+
+        episodes = [
+            {"max_tile": t, "number": i}
+            for i, t in enumerate([128] * 40 + [256] * 30 + [512] * 4)
+        ]
+        cmp = compare_to_reference(episodes)
+        txt = format_reference_comparison(cmp)
+        assert "128" in txt and "41.36%" in txt
+        assert "frac >=128" in txt
+
+    def test_analysis_png_has_vlines(self, tmp_path):
+        """The rendered png exists when matplotlib is present; the vline
+        inputs (hyperparams) round-trip from the job folder."""
+        cfg = tiny_config()
+        state, exp = train(
+            cfg, root_dir=str(tmp_path), job_name="vlines", verbose=False
+        )
+        render_report(exp.folder)
+        try:
+            import matplotlib  # noqa: F401
+        except Exception:
+            pytest.skip("matplotlib unavailable")
+        assert os.path.isfile(os.path.join(exp.folder, "analysis.png"))

@@ -140,3 +140,73 @@ class TestTwoProcessTraining:
         np.testing.assert_allclose(
             params_abs_sum, d0["params_abs_sum"], rtol=1e-5
         )
+
+
+class TestOneProcessFailure:
+    def test_failing_process_leaves_loadable_state(self, tmp_path):
+        """Kill-one-process drill (VERDICT r2 task 4): process 1 raises
+        mid-run (fault injection); the failure path must be
+        collective-free — process 1 dumps its addressable shards and
+        exits promptly instead of deadlocking in a gather, process 0
+        errors out of its next collective and dumps its own, and the job
+        directory is loadable afterwards with the learned (replicated)
+        params intact."""
+        port = _free_port()
+        base_env = {
+            k: v
+            for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+        }
+        root = str(tmp_path / "shared_root")
+        envs = [dict(base_env), dict(base_env)]
+        envs[1]["T48_FAULT_INJECT_EPISODES"] = "20"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, _WORKER, str(i), "2", str(port), root,
+                 "failtest"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=envs[i],
+                cwd=_REPO,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        # the injected failure must not deadlock either process — a hang
+        # here (the old collective-on-exception bug) fails via timeout
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out.decode(errors="replace"))
+        assert procs[1].returncode == 17, outs[1][-4000:]
+        assert "FAILED_AS_EXPECTED:RuntimeError" in outs[1]
+        # process 0 blocks in its next collective once the peer is gone;
+        # the chunk watchdog must detect the stall, dump shards
+        # collective-free and exit (42 = dump written; any other nonzero
+        # means the runtime surfaced a distributed error first, also fine
+        # — the hard failure is hanging until the communicate() timeout)
+        assert procs[0].returncode != 0, outs[0][-4000:]
+
+        emergency = os.path.join(root, "mp_job", "binary", "emergency")
+        assert os.path.isdir(emergency), os.listdir(
+            os.path.join(root, "mp_job", "binary")
+        )
+        dumps = sorted(os.listdir(emergency))
+        assert "shards.proc1.npz" in dumps, dumps
+
+        # the dump restores: params (replicated) must be complete even if
+        # the other process's env/replay shards are missing
+        from t48.exp.checkpoint import restore_from_shards
+        from t48.train import loop as loop_lib
+
+        template = loop_lib.create_train_state(_worker_config())
+        state, missing = restore_from_shards(emergency, template)
+        assert int(state.episodes_done) >= 20
+        param_keys = [m for m in missing if m.startswith(".params")]
+        assert not param_keys, param_keys
+        # params moved off their fresh values (training happened)
+        t0 = jax.tree_util.tree_leaves(template.params)
+        t1 = jax.tree_util.tree_leaves(state.params)
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(t0, t1)
+        )

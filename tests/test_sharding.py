@@ -99,8 +99,14 @@ class TestShardedTraining:
 
     def test_sharded_equals_single_device(self, mesh):
         """DP training == single-device training: identical env dynamics
-        (integer state) and near-identical params (float psum order)."""
-        cfg = tiny_config()
+        (integer state) and near-identical params (float psum order).
+
+        f32 compute so the tight tolerance stays meaningful — under bf16
+        the psum-order noise is amplified past any tolerance that would
+        still catch a real sharding bug; the bf16 path's sharded
+        correctness is covered by the integer-state equality here plus
+        the HLO collective assertions below."""
+        cfg = tiny_config(compute_dtype="float32")
         chunk = loop_lib.make_train_chunk(cfg)
 
         s_single = loop_lib.create_train_state(cfg)
