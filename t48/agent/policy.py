@@ -67,3 +67,38 @@ def epsilon_greedy(
     actions = jnp.where(explore, random_actions, greedy_actions).astype(jnp.int32)
     max_q = jnp.where(explore, 0.0, q_values.max(-1))
     return actions, max_q
+
+
+def greedy_masked_action_cm(q_cm: jax.Array, legal_cm: jax.Array,
+                            compat: str = "masked"):
+    """Cell-major ``greedy_masked_action``: q [4, B], legal bool [4, B],
+    action axis in sublanes, batch in lanes — every op is lane-parallel
+    (the hot loop's orientation, t48/train/loop.py)."""
+    if compat == "reference":
+        qmin = q_cm.min(0, keepdims=True)
+        qmax = q_cm.max(0, keepdims=True)
+        q_normal = q_cm - qmin * qmax - qmin
+        return jnp.argmax(jnp.where(legal_cm, q_normal, 0.0), axis=0)
+    if compat == "masked":
+        return jnp.argmax(jnp.where(legal_cm, q_cm, NEG_INF), axis=0)
+    raise ValueError(f"unknown policy compat mode: {compat!r}")
+
+
+def epsilon_greedy_cm(
+    key: jax.Array,
+    q_cm: jax.Array,
+    legal_cm: jax.Array,
+    epsilon: jax.Array,
+    compat: str = "masked",
+):
+    """Cell-major ``epsilon_greedy``: q [4, B], legal bool [4, B] →
+    (actions int32[B], max_q f32[B]). Same semantics as the batch-major
+    form (pinned in tests/test_agent.py)."""
+    k_explore, k_action = jax.random.split(key)
+    batch = q_cm.shape[1]
+    explore = jax.random.uniform(k_explore, (batch,)) < epsilon
+    random_actions = jax.random.randint(k_action, (batch,), 0, q_cm.shape[0])
+    greedy_actions = greedy_masked_action_cm(q_cm, legal_cm, compat)
+    actions = jnp.where(explore, random_actions, greedy_actions).astype(jnp.int32)
+    max_q = jnp.where(explore, 0.0, q_cm.max(0))
+    return actions, max_q

@@ -59,11 +59,16 @@ class T48Config:
     # longer than this, assume a peer process died mid-collective — dump
     # this process's shards (collective-free) and exit. 0 disables.
     watchdog_timeout_s: float = 0.0
-    # --- learner compute options (measured in scripts/learner_microbench.py;
-    # curve-neutrality validated by the integration tests + committed runs) ---
+    # --- learner compute options. Defaults follow IN-LOOP round-robin
+    # measurements on v5e (benchmarks/learner_flags_r03.md), which
+    # overturn the isolated microbench (scripts/learner_microbench.py):
+    # bf16 compute helps ~5%; the fused [2B] apply and optax.flatten both
+    # LOSE in-loop (the fused apply's interleave relayout and flatten's
+    # per-update ravel/unravel cost more than the matmul fusion saves at
+    # these tiny model sizes) — flags kept for larger models. ---
     compute_dtype: str = "bfloat16"  # network compute dtype; params stay f32
-    learner_fused_apply: bool = True  # q(s) + q_online(s') in ONE [2B] apply
-    learner_flat_adam: bool = True  # optax.flatten: one fused vector Adam
+    learner_fused_apply: bool = False  # q(s) + q_online(s') in ONE [2B] apply
+    learner_flat_adam: bool = False  # optax.flatten: one fused vector Adam
     # cap the effective learner batch at batch_size regardless of env_batch
     # (without it the per-env stratified sample floors at 1 row/env, so the
     # learner batch silently inflates to env_batch when env_batch > batch_size)

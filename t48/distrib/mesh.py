@@ -90,8 +90,12 @@ def train_state_shardings(state, mesh: Mesh, config: T48Config):
     def all_leaves(subtree, sharding):
         return jax.tree_util.tree_map(lambda _: sharding, subtree)
 
+    # replay rows are cell-major [components, ring, B] — the env/'data'
+    # axis is MINOR (t48/replay/buffer.py layout note)
     replay_sh = state.replay.replace(
-        rows=data, ptr=replicated, fill=replicated
+        rows=NamedSharding(mesh, P(None, None, "data")),
+        ptr=replicated,
+        fill=replicated,
     )
     return state.replace(
         params=all_leaves(state.params, replicated),

@@ -435,6 +435,55 @@ def env_step(
     return new_state, actions, reward, done_pre, legal, aux
 
 
+def env_step_cm(
+    boards_cm: jax.Array,
+    legal_cm: jax.Array,
+    actions: jax.Array,
+    key: jax.Array,
+    p_four: float = 0.5,
+):
+    """Cell-major lockstep env step with carried legality and external
+    actions — the XLA twin of the Pallas training kernel
+    (t48/ops/pallas_step.pallas_env_step), sharing its exact contract:
+
+    Args:
+      boards_cm: int32[K², B] cell-major boards.
+      legal_cm:  int32[4, B] 0/1 legality of the CURRENT boards.
+      actions:   int32[B].
+      key:       jax PRNG key (spawn + reset randomness — threefry, a
+                 different stream than the kernel's TPU-native PRNG).
+
+    Returns (new_cm, pre_cm, new_legal_cm, reward): the post-reset carry,
+    the post-action pre-reset boards, the new boards' legality and the
+    merge-score reward (0 on illegal/terminal no-ops). Terminal boards
+    (no legal move) auto-reset to fresh two-tile boards.
+    """
+    n = boards_cm.shape[0]
+    k = int(round(n ** 0.5))
+    cells = [boards_cm[i] for i in range(n)]
+    legal_list = [legal_cm[a] != 0 for a in range(4)]
+    done = ~(
+        (legal_list[0] | legal_list[1]) | (legal_list[2] | legal_list[3])
+    )
+    k_spawn, k_r1, k_r2 = jax.random.split(key, 3)
+    sel, delta = apply_chosen_cells(cells, actions, k)
+    did = _select_lane(legal_list, actions)
+    spawned = _spawn_cells(sel, did, k_spawn, p_four)
+    pre = [jnp.where(did, s, c) for s, c in zip(spawned, cells)]
+    reward = jnp.where(did, delta, 0)
+    # auto-reset terminal envs: zero the board, two fresh spawns
+    zeroed = [jnp.where(done, 0, c) for c in pre]
+    fresh = _spawn_cells(zeroed, done, k_r1, p_four)
+    fresh = _spawn_cells(fresh, done, k_r2, p_four)
+    new_legal = legal_cells(fresh, k)
+    return (
+        jnp.stack(fresh),
+        jnp.stack(pre),
+        jnp.stack([l.astype(jnp.int32) for l in new_legal]),
+        reward,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spawning / reset
 # ---------------------------------------------------------------------------

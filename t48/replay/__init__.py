@@ -1,8 +1,10 @@
 """HBM-resident per-env-ring replay buffer."""
 
 from t48.replay.buffer import (
+    CMTransition,
     ReplayState,
     Transition,
+    to_cm,
     add_many,
     add_step,
     create,
@@ -12,8 +14,10 @@ from t48.replay.buffer import (
 )
 
 __all__ = [
+    "CMTransition",
     "ReplayState",
     "Transition",
+    "to_cm",
     "add_many",
     "add_step",
     "create",

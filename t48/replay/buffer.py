@@ -1,4 +1,4 @@
-"""HBM-resident replay buffer: one sub-ring per environment.
+"""HBM-resident replay buffer: one sub-ring per environment, cell-major.
 
 The reference keeps a host-side ``collections.deque`` of *Board objects*
 and tensorizes every sampled experience on every train step — two
@@ -8,52 +8,46 @@ fixed-size device array that lives in HBM for the whole run.
 
 Storage layout (B = env batch, M = per-env capacity, S = K*K cells):
 
-  rows      : bf16[B, M, 2S+5] — one packed row per transition:
+  rows      : bf16[2S+5, M, B] — component-major, batch-MINOR:
               [0:S) state exponents, [S:2S) next_state exponents,
               [2S] action, [2S+1] done, [2S+2:2S+5) the reward as an
               exact bf16 triple (see below)
   ptr, fill : int32 — per-env write head / live count (scalar: envs
               insert in lockstep, so every row has the same head)
 
-Why one packed row instead of five typed arrays, and why no
-gather/scatter: on TPU, ``dynamic-update-slice`` into a thin minor slice
-and row-gathers (``take_along_axis``) are row-serialized — profiling the
-v5e train chunk showed the five per-field inserts and five per-field
-sample gathers costing ~100µs/iteration combined, dwarfing the actual
-learner math. Instead:
+Why batch-minor (cell-major): the minor-most dim maps to the TPU's 128
+vector lanes. The whole training hot loop carries boards as
+``int32[16, B]`` (t48/train/loop.py) — storing replay rows with B minor
+means insert, sampling AND the learner's network input all stay in one
+orientation with ZERO transposes/relayouts per iteration (the previous
+[B, M, R] layout paid two full relayouts per env step). Ops:
 
 - **insert** is ONE fused elementwise select over the whole buffer
-  (``where(slot == head, new_row, rows)``) — a streaming VPU rewrite at
-  full memory bandwidth;
-- **sampling** is ONE batched one-hot matmul
-  (``einsum('bsm,bmr->bsr', onehot(idx), rows)``) that runs on the MXU
-  with f32 accumulation.
+  (``where(slot == head, new, rows)``) — a streaming VPU rewrite;
+- **sampling** is a lane-parallel one-hot contraction over the tiny M
+  axis (``einsum('smb,rmb->rsb')``), every lane an independent env.
 
 Both are bit-exact. Board exponents (≤ ~60), actions and done flags are
 small integers, exact in bf16. The f32 reward is stored as the classic
 bf16-triple decomposition r = h1 + h2 + h3 (each h_i the bf16 rounding
 of the remaining residual): three nearest-roundings leave residual
 spans of ≤15 and ≤6 mantissa bits, so the triple reconstructs every
-normal f32 exactly, and the one-hot dot selects exactly one non-zero
-term per output so MXU accumulation adds only zeros to it.
+normal f32 exactly.
 
-Why a leading env axis instead of the flat [N] ring a host deque
-suggests: the leading axis is exactly the ``data`` mesh axis. Inserts
-and per-env sampling are elementwise/batched in that axis, so each
-device touches only its own envs' shard with **zero cross-device
-traffic**. A flat ring would scatter every step's B transitions into one
-contiguous window living on a single shard, and global uniform sampling
-from it would all-gather the sampled batch every learner step
-(SURVEY.md §7 "Replay at scale").
+Why a trailing env axis: it is exactly the ``data`` mesh axis
+(P(None, None, 'data')). Inserts and per-env sampling are elementwise/
+batched in that axis, so each device touches only its own envs' shard
+with **zero cross-device traffic**; the learner's gradient psum is the
+only collective in the train step (asserted on the HLO in
+tests/test_sharding.py).
 
-Sampling is **stratified per env**: each env row contributes
-``batch_size // B`` uniform-with-replacement draws from its own ring, so
-each device samples only from its own shard and the learner's gradient
-psum is the only collective in the train step. All rows always have the
-same fill, so stratified sampling has the same marginal distribution as
-the reference's global uniform ``np.random.randint`` (dqn_lib.py:67-70)
-— it is the variance-reduced (stratified) estimator of the same
-expectation, and is *exactly* the reference scheme at env_batch=1.
+Sampling is **stratified per env**: each env contributes
+``sample_rows(batch_size, B)`` uniform-with-replacement draws from its
+own ring. All rows always have the same fill, so stratified sampling
+has the same marginal distribution as the reference's global uniform
+``np.random.randint`` (dqn_lib.py:67-70) — the variance-reduced
+estimator of the same expectation, and *exactly* the reference scheme
+at env_batch=1.
 
 Documented divergences (both exact at env_batch=1):
 - effective capacity rounds up to ``B * ceil(N / B)``;
@@ -76,7 +70,8 @@ _EXTRA_COLS = 5  # action, done, reward triple
 
 
 class Transition(NamedTuple):
-    """A batch of transitions, encoded (exponent boards flattened).
+    """A batch of transitions, batch-major (external/cold-path form:
+    A*-seeded warm starts, tests). The hot path uses ``CMTransition``.
 
     ``weight`` is an optional per-row f32 loss weight attached by the
     capped sampler (0 masks a surplus row, 1 keeps it); it is never
@@ -89,6 +84,32 @@ class Transition(NamedTuple):
     next_state: jax.Array  # int8[B, S]
     done: jax.Array  # bool[B]
     weight: object = None  # optional f32[B] loss weight (capped sampling)
+
+
+class CMTransition(NamedTuple):
+    """A batch of transitions, cell-major (the hot-path form): boards
+    ``[S, B]`` with batch minor. ``state``/``next_state`` may be any
+    int/float dtype holding exact exponents; sampled batches come back
+    f32 (exact integer contents)."""
+
+    state: jax.Array  # [S, B] exponents
+    action: jax.Array  # int32[B]
+    reward: jax.Array  # f32[B]
+    next_state: jax.Array  # [S, B] exponents
+    done: jax.Array  # bool[B]
+    weight: object = None  # optional f32[B] loss weight (capped sampling)
+
+
+def to_cm(t: Transition) -> CMTransition:
+    """Batch-major → cell-major (cold paths: seeding, tests)."""
+    return CMTransition(
+        state=t.state.T,
+        action=t.action,
+        reward=t.reward,
+        next_state=t.next_state.T,
+        done=t.done,
+        weight=t.weight,
+    )
 
 
 def _bf16_triple(x: jax.Array):
@@ -110,45 +131,48 @@ def _bf16_triple(x: jax.Array):
     return h1, h2, h3
 
 
-def _encode_rows(batch: Transition) -> jax.Array:
-    """Pack a Transition batch into bf16 rows [B, 2S+5]."""
+def _encode_rows(batch: CMTransition) -> jax.Array:
+    """Pack a cell-major transition batch into bf16 [2S+5, B]."""
     h1, h2, h3 = _bf16_triple(batch.reward)
-    col = lambda v: v.astype(jnp.bfloat16)[:, None]  # noqa: E731
+    row = lambda v: v.astype(jnp.bfloat16)[None, :]  # noqa: E731
     return jnp.concatenate(
         [
             batch.state.astype(jnp.bfloat16),
             batch.next_state.astype(jnp.bfloat16),
-            col(batch.action),
-            col(batch.done),
-            col(h1),
-            col(h2),
-            col(h3),
+            row(batch.action),
+            row(batch.done),
+            row(h1),
+            row(h2),
+            row(h3),
         ],
-        axis=-1,
+        axis=0,
     )
 
 
-def _decode_rows(flat: jax.Array) -> Transition:
-    """Unpack f32 rows [N, 2S+5] (exact-integer contents) → Transition."""
-    s = (flat.shape[-1] - _EXTRA_COLS) // 2
-    return Transition(
-        state=flat[:, :s].astype(jnp.int8),
-        action=flat[:, 2 * s].astype(jnp.int32),
-        reward=(flat[:, 2 * s + 2] + flat[:, 2 * s + 3]) + flat[:, 2 * s + 4],
-        next_state=flat[:, s : 2 * s].astype(jnp.int8),
-        done=flat[:, 2 * s + 1] != 0,
+def _decode_rows(flat: jax.Array) -> CMTransition:
+    """Unpack f32 [2S+5, *batch] (exact-integer contents) → CMTransition.
+
+    Any number of trailing batch dims — sampled batches come back
+    [2S+5, s, B] (draws × envs, unflattened; see ``sample``)."""
+    s = (flat.shape[0] - _EXTRA_COLS) // 2
+    return CMTransition(
+        state=flat[:s],
+        action=flat[2 * s].astype(jnp.int32),
+        reward=(flat[2 * s + 2] + flat[2 * s + 3]) + flat[2 * s + 4],
+        next_state=flat[s : 2 * s],
+        done=flat[2 * s + 1] != 0,
     )
 
 
 @struct.dataclass
 class ReplayState:
-    rows: jax.Array  # bf16[B, M, 2S+5] packed transitions
+    rows: jax.Array  # bf16[2S+5, M, B] packed transitions, batch minor
     ptr: jax.Array  # int32 scalar: per-env write head
     fill: jax.Array  # int32 scalar: per-env live count
 
     @property
     def env_batch(self) -> int:
-        return self.rows.shape[0]
+        return self.rows.shape[2]
 
     @property
     def per_env_capacity(self) -> int:
@@ -157,24 +181,27 @@ class ReplayState:
     @property
     def capacity(self) -> int:
         """Total transition capacity across all env rings."""
-        return self.rows.shape[0] * self.rows.shape[1]
+        return self.rows.shape[1] * self.rows.shape[2]
 
     @property
     def total_fill(self):
         """Total live transitions (fill is per-env)."""
-        return self.fill * self.rows.shape[0]
+        return self.fill * self.rows.shape[2]
 
     @property
     def cells(self) -> int:
-        return (self.rows.shape[-1] - _EXTRA_COLS) // 2
+        return (self.rows.shape[0] - _EXTRA_COLS) // 2
 
-    # Decoded full-buffer views (host/test convenience, not the hot path).
+    # Decoded full-buffer views in the ORIGINAL batch-major orientation
+    # ([B, M, ...]) — host/test convenience, not the hot path.
     def _view(self, field: str):
-        b, m = self.rows.shape[:2]
-        flat = self.rows.reshape(b * m, -1).astype(jnp.float32)
-        return getattr(_decode_rows(flat), field).reshape(
-            (b, m) + ((self.cells,) if field in ("state", "next_state") else ())
-        )
+        r, m, b = self.rows.shape
+        flat = self.rows.reshape(r, m * b).astype(jnp.float32)
+        dec = getattr(_decode_rows(flat), field)
+        if field in ("state", "next_state"):
+            out = dec.reshape(self.cells, m, b).transpose(2, 1, 0)
+            return out.astype(jnp.int8)
+        return dec.reshape(m, b).T
 
     @property
     def state(self):
@@ -205,8 +232,9 @@ def per_env_capacity(capacity: int, env_batch: int) -> int:
 def sample_rows(batch_size: int, env_batch: int) -> int:
     """Per-env draws per sample: ``max(1, round(batch_size / env_batch))``.
 
-    The effective learner batch is ``env_batch * sample_rows`` (equal to
-    ``batch_size`` whenever it divides evenly — always at env_batch=1).
+    The raw sample is ``env_batch * sample_rows`` rows (equal to
+    ``batch_size`` whenever it divides evenly — always at env_batch=1);
+    ``sample(cap=True)`` masks it back down to ``batch_size``.
     """
     return max(1, round(batch_size / env_batch))
 
@@ -216,17 +244,22 @@ def create(capacity: int, cells: int = 16, env_batch: int = 1) -> ReplayState:
     ``env_batch`` per-env rings."""
     m = per_env_capacity(capacity, env_batch)
     return ReplayState(
-        rows=jnp.zeros((env_batch, m, 2 * cells + _EXTRA_COLS), jnp.bfloat16),
+        rows=jnp.zeros((2 * cells + _EXTRA_COLS, m, env_batch), jnp.bfloat16),
         ptr=jnp.zeros((), jnp.int32),
         fill=jnp.zeros((), jnp.int32),
     )
 
 
-def add_step(rs: ReplayState, batch: Transition) -> ReplayState:
+def add_step(rs: ReplayState, batch) -> ReplayState:
     """Append one transition per env (B lockstep ``append`` calls,
     dqn_lib.py:106). One fused elementwise select over the buffer — no
     dynamic-update-slice (row-serial on TPU), shard-local under a 'data'
-    mesh. Evict-oldest falls out of the modular head per ring."""
+    mesh. Evict-oldest falls out of the modular head per ring.
+
+    Accepts a ``CMTransition`` (hot path) or a batch-major ``Transition``
+    (cold paths; converted)."""
+    if isinstance(batch, Transition):
+        batch = to_cm(batch)
     m = rs.per_env_capacity
     p = rs.ptr % m
     sel = (jnp.arange(m) == p)[None, :, None]
@@ -238,11 +271,12 @@ def add_step(rs: ReplayState, batch: Transition) -> ReplayState:
 
 
 def add_many(rs: ReplayState, transitions: Transition) -> ReplayState:
-    """Bulk-insert T arbitrary transitions (the A*-seeded warm start,
-    reference double_dqn_conv_sss.py:65). Host-side helper: pads T up to a
-    multiple of B by cycling from the start (documented divergence — the
-    warm start is a heuristic seed, duplicates are harmless under
-    with-replacement sampling), then writes ceil(T/B) lockstep steps."""
+    """Bulk-insert T arbitrary batch-major transitions (the A*-seeded
+    warm start, reference double_dqn_conv_sss.py:65). Host-side helper:
+    pads T up to a multiple of B by cycling from the start (documented
+    divergence — the warm start is a heuristic seed, duplicates are
+    harmless under with-replacement sampling), then writes ceil(T/B)
+    lockstep steps."""
     t = int(np.shape(transitions.action)[0])
     b = rs.env_batch
     steps = -(-t // b)
@@ -258,19 +292,21 @@ def add_many(rs: ReplayState, transitions: Transition) -> ReplayState:
     stored = transitions[:5]  # weight is never stored
     rows = Transition(*(pad_cycle(x) for x in stored))
     for i in range(steps):
-        rs = add_step(rs, Transition(*(x[i] for x in rows[:5])))
+        rs = add_step(rs, to_cm(Transition(*(x[i] for x in rows[:5]))))
     return rs
 
 
 def sample(
     rs: ReplayState, key: jax.Array, batch_size: int, cap: bool = False
-) -> Transition:
+) -> CMTransition:
     """Stratified uniform sampling with replacement: each env ring
     contributes ``sample_rows(batch_size, B)`` draws from its own live
     region (see module docstring for why this matches the reference's
-    global uniform scheme, dqn_lib.py:67-70). The draw is a batched
-    one-hot matmul on the MXU (f32 accumulation, bit-exact) — per-env,
-    aligned with the 'data' shard axis, no cross-device traffic.
+    global uniform scheme, dqn_lib.py:67-70). The draw is a lane-parallel
+    one-hot contraction over the tiny ring axis (f32 accumulation,
+    bit-exact) — per-env, aligned with the 'data' shard axis, no
+    cross-device traffic. Returns a cell-major batch of N = B·s rows,
+    flattened in (draw, env) order.
 
     The training loop may call this speculatively every iteration, even
     on an empty buffer: ``max(fill, 1)`` plus the zero-initialized rows
@@ -285,21 +321,30 @@ def sample(
     giving every env equal marginal inclusion probability; the mask is
     computed from an iota — still shard-local, no gather.
     """
-    b, m = rs.rows.shape[:2]
+    r, m, b = rs.rows.shape
     s = sample_rows(batch_size, b)
     k_idx, k_off = jax.random.split(key)
-    idx = jax.random.randint(k_idx, (b, s), 0, jnp.maximum(rs.fill, 1))
-    onehot = (idx[..., None] == jnp.arange(m)).astype(jnp.bfloat16)
+    idx = jax.random.randint(k_idx, (s, b), 0, jnp.maximum(rs.fill, 1))
+    onehot = (idx[:, None, :] == jnp.arange(m)[None, :, None]).astype(
+        jnp.bfloat16
+    )
+    # Output keeps the [r, s, b] factored batch shape — flattening (s, b)
+    # would merge the sharded minor env axis into a strided dimension
+    # GSPMD cannot express, forcing an all-gather of the sampled batch
+    # (it did: caught by tests/test_sharding.py's HLO assertion). The
+    # learner treats all trailing dims as batch, so no flatten is needed.
     flat = jnp.einsum(
-        "bsm,bmr->bsr",
+        "smb,rmb->rsb",
         onehot,
         rs.rows,
         preferred_element_type=jnp.float32,
-    ).reshape(b * s, rs.rows.shape[-1])
+    )
     out = _decode_rows(flat)
-    n = b * s
+    n = s * b
     if cap and n > batch_size:
         offset = jax.random.randint(k_off, (), 0, n)
-        include = ((jnp.arange(n) + offset) % n) < batch_size
+        include = (
+            (jnp.arange(n).reshape(s, b) + offset) % n
+        ) < batch_size
         out = out._replace(weight=include.astype(jnp.float32))
     return out

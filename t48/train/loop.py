@@ -64,23 +64,24 @@ from t48.train.schedules import epsilon_schedule
 class EpisodeLog:
     """Per-env on-device buffer of completed-episode metrics.
 
-    ``data[b, i]`` is env *b*'s *i*-th completion since the last drain —
-    a packed int32 row of (max_tile, merge_score, number, reward_bits,
-    q_value_bits, epsilon_bits, number_moves), the three float metrics
-    bitcast to int32. ``count[b]`` is env *b*'s completions since the
-    drain; ``make_train_chunk`` zeroes it at every chunk entry and the
-    host drains after every chunk, sorting rows by the global completion
-    rank stored in the ``number`` column.
+    ``data[c, i, b]`` is column *c* of env *b*'s *i*-th completion since
+    the last drain — packed int32 columns (max_tile, merge_score, number,
+    reward_bits, q_value_bits, epsilon_bits, number_moves), the three
+    float metrics bitcast to int32. ``count[b]`` is env *b*'s completions
+    since the drain; ``make_train_chunk`` zeroes it at every chunk entry
+    and the host drains after every chunk, sorting rows by the global
+    completion rank stored in the ``number`` column.
 
     Why per-env slots instead of one global ring: a global ring needs a
     scatter at batch-computed slots, and TPU scatters are row-serialized
     (~180µs/iteration at env_batch=4096 — it was 22% of the training
     iteration, benchmarks/breakdown_r02_pre.json). The per-env write is
-    a fused elementwise select (``where(slot == count_b and done_b)``)
-    over [B, R, 7] — a streaming VPU op with no scatter at all.
+    a fused elementwise select (``where(slot == count_b and done_b)``).
+    Layout is batch-MINOR ([7, R, B]) like the rest of the hot loop —
+    every write is lane-parallel over B.
     """
 
-    data: jax.Array  # int32[B, R, 7] packed metric rows
+    data: jax.Array  # int32[7, R, B] packed metric columns, batch minor
     count: jax.Array  # int32[B] completions since last drain
 
 
@@ -113,7 +114,7 @@ def effective_log_size(config: T48Config) -> int:
 
 def _create_log(size: int, env_batch: int) -> EpisodeLog:
     return EpisodeLog(
-        data=jnp.zeros((env_batch, size, len(_LOG_COLS)), jnp.int32),
+        data=jnp.zeros((len(_LOG_COLS), size, env_batch), jnp.int32),
         count=jnp.zeros((env_batch,), jnp.int32),
     )
 
@@ -252,16 +253,26 @@ def build_optimizer(config: T48Config) -> optax.GradientTransformation:
 
 
 def build_train_step(config: T48Config) -> Callable:
-    """The config's jittable learner update (t48/agent/learner.py)."""
-    net = build_net(config)
+    """The config's jittable learner update (t48/agent/learner.py).
+
+    Cell-major: consumes the CM batches ``replay.sample`` produces and
+    evaluates the CM forward (t48/agent/cm_forward.py) — boards [S, N]
+    with batch in lanes, no relayout between sampling and the matmuls.
+    """
+    from t48.agent import cm_forward
+
+    apply_cm = cm_forward.build_cm_forward(
+        config.arch, networks.dtype_of(config.compute_dtype)
+    )
     return learner_lib.make_train_step(
-        net.apply,
-        encoder_for(config.arch, config.board_k),
+        apply_cm,
+        lambda x: x,  # CM forward takes raw exponent boards directly
         build_optimizer(config),
         config.discount_factor,
         config.use_double_dqn,
         config.compat_zero_update,
         config.learner_fused_apply,
+        cm=True,
     )
 
 
@@ -336,11 +347,18 @@ def make_train_iteration(
     One iteration = one lockstep env step for all B envs + episode
     accounting + (conditionally) one learner update + target sync.
 
-    Two env-step backends (``resolve_env_backend``): the XLA engine
-    (t48/env/engine.py), and on TPU the fused Pallas kernel
-    (t48/ops/pallas_step.py) with the env carried cell-major; the Pallas
-    path expects ``state.env`` to be a ``CMEnvState`` (``make_train_chunk``
-    converts at chunk entry/exit). Under a mesh the kernel runs inside
+    The WHOLE iteration is cell-major (batch-minor): boards ``[16, B]``
+    with carried legality ``[4, B]`` (``CMEnvState``; ``make_train_chunk``
+    converts from/to the checkpointed ``engine.EnvState`` at chunk
+    edges), the policy forward is the batch-in-lanes CM network
+    (t48/agent/cm_forward.py), replay rows are batch-minor and the
+    learner consumes CM samples directly — no transpose/relayout
+    anywhere in the per-step program.
+
+    Two env-step backends behind one contract (``resolve_env_backend``):
+    ``engine.env_step_cm`` (XLA; CPU tests, odd shapes) and on TPU the
+    fused Pallas kernel (t48/ops/pallas_step.pallas_env_step) with the
+    board resident in VMEM. Under a mesh the kernel runs inside
     ``jax.shard_map`` over the 'data' axis — each device steps only its
     own env shard, zero cross-device traffic.
 
@@ -351,11 +369,13 @@ def make_train_iteration(
     + target sync, and the episode-ring writes respectively. Training
     always uses the defaults (everything on).
     """
-    net = build_net(config)
-    encode = encoder_for(config.arch, config.board_k)
+    from t48.agent import cm_forward
+
+    apply_cm = cm_forward.build_cm_forward(
+        config.arch, networks.dtype_of(config.compute_dtype)
+    )
     train_step = build_train_step(config)
     batch = config.env_batch
-    cells = config.board_k * config.board_k
     log_size = effective_log_size(config)
     backend = resolve_env_backend(config, mesh)
 
@@ -388,7 +408,7 @@ def make_train_iteration(
             )
 
     def iteration(state: TrainState):
-        rng, k_step, k_reset, k_sample = jax.random.split(state.rng, 4)
+        rng, k_step, k_env, k_sample = jax.random.split(state.rng, 4)
 
         # ---- ε for the episodes currently in flight (dqn_lib.py:184-188)
         eps = epsilon_schedule(
@@ -398,29 +418,26 @@ def make_train_iteration(
             config.no_episodes_to_fill_up_existing_model_replay_buffer,
         )
 
-        def choose(k_pol, flat, legal):
-            """(actions, max_q) from flat int8[B,S] boards + legality."""
-            if not with_policy:  # bench ablation: uniform random-legal
-                scores = jax.random.uniform(k_pol, legal.shape)
-                actions = jnp.argmax(
-                    jnp.where(legal, scores, -1.0), -1
-                ).astype(jnp.int32)
-                return actions, jnp.zeros((batch,), jnp.float32)
-            q_values = net.apply(state.params, encode(flat))
-            return policy_lib.epsilon_greedy(
-                k_pol, q_values, legal, eps, config.policy_compat
+        cme: CMEnvState = state.env
+        legal_cm_bool = cme.legal_cm != 0  # [4, B]
+        done_pre = ~legal_cm_bool.any(0)
+        done = done_pre
+
+        # ---- policy on the carried legality (cell-major end-to-end)
+        if not with_policy:  # bench ablation: uniform random-legal
+            scores = jax.random.uniform(k_step, (4, batch))
+            actions = jnp.argmax(
+                jnp.where(legal_cm_bool, scores, -1.0), axis=0
+            ).astype(jnp.int32)
+            max_q = jnp.zeros((batch,), jnp.float32)
+        else:
+            q_cm = apply_cm(state.params, cme.boards_cm)
+            actions, max_q = policy_lib.epsilon_greedy_cm(
+                k_step, q_cm, legal_cm_bool, eps, config.policy_compat
             )
 
+        # ---- env step (apply + spawn + auto-reset + next legality)
         if backend == "pallas":
-            # ---- fused Pallas env step: legality is CARRIED (computed by
-            # the previous iteration's kernel), the kernel applies the
-            # chosen move, spawns, auto-resets and emits next legality —
-            # one VMEM-resident pass instead of ~350 lane-starved XLA ops.
-            cme: CMEnvState = state.env
-            legal = (cme.legal_cm != 0).T  # [B, 4]
-            done_pre = ~legal.any(-1)
-            flat = cme.boards_cm.T.astype(jnp.int8)  # [B, S]
-            actions, max_q = choose(k_step, flat, legal)
             seed = (
                 state.env_steps * jnp.int32(-1640531527)  # odd (Weyl) step
                 + jnp.int32((config.seed * 9973 + 12345) & 0x7FFFFFFF)
@@ -428,47 +445,30 @@ def make_train_iteration(
             new_cm, pre_cm, new_legal_cm, reward = kernel_step(
                 cme.boards_cm, cme.legal_cm, actions, seed
             )
-            next_flat = pre_cm.T.astype(jnp.int8)
-            log_merge = cme.merge_scores + reward
-            log_steps = cme.step_counts + 1
-            done = done_pre
-            max_exp = next_flat.astype(jnp.int32).max(-1)
-            log_max_tile = jnp.where(
-                max_exp > 0, jnp.left_shift(jnp.int32(1), max_exp), 0
-            )
-            env_out = CMEnvState(
-                boards_cm=new_cm,
-                legal_cm=new_legal_cm,
-                merge_scores=jnp.where(done, 0, log_merge),
-                step_counts=jnp.where(done, 0, log_steps),
-            )
         else:
-            # ---- fused XLA env step: merges computed once, policy forward
-            # runs between legality and move-select
-            def policy_fn(k_pol, boards, legal):
-                flat = boards.reshape(batch, cells).astype(jnp.int8)
-                actions, max_q = choose(k_pol, flat, legal)
-                return actions, (flat, max_q)
-
-            new_env, actions, reward, done_pre, legal, (flat, max_q) = (
-                engine.env_step(state.env, policy_fn, k_step, config.p_four)
+            new_cm, pre_cm, new_legal_cm, reward = engine.env_step_cm(
+                cme.boards_cm, cme.legal_cm, actions, k_env, config.p_four
             )
-            next_flat = new_env.boards.reshape(batch, cells).astype(jnp.int8)
-            log_merge = new_env.merge_scores
-            log_steps = new_env.step_counts
-            done = done_pre
-            log_max_tile = engine.max_tile(new_env.boards)
-            env_out = engine.reset_where(
-                new_env, done, k_reset, config.p_four
-            )
+        log_merge = cme.merge_scores + reward
+        log_steps = cme.step_counts + 1
+        max_exp = pre_cm.max(0)  # lane-parallel reduce over the 16 cells
+        log_max_tile = jnp.where(
+            max_exp > 0, jnp.left_shift(jnp.int32(1), max_exp), 0
+        )
+        env_out = CMEnvState(
+            boards_cm=new_cm,
+            legal_cm=new_legal_cm,
+            merge_scores=jnp.where(done, 0, log_merge),
+            step_counts=jnp.where(done, 0, log_steps),
+        )
 
-        # ---- replay append (encode-at-insert)
+        # ---- replay append (encode-at-insert, stays cell-major)
         if with_replay:
-            transition = replay_lib.Transition(
-                state=flat,
+            transition = replay_lib.CMTransition(
+                state=cme.boards_cm,
                 action=actions,
                 reward=reward.astype(jnp.float32),
-                next_state=next_flat,
+                next_state=pre_cm,
                 done=done_pre,
             )
             replay = replay_lib.add_step(state.replay, transition)
@@ -498,15 +498,15 @@ def make_train_iteration(
                     jnp.broadcast_to(bits(eps), (batch,)),
                     log_steps,
                 ],
-                axis=-1,
-            )  # [B, 7]
+                axis=0,
+            )  # [7, B], batch in lanes
             # fused elementwise select-write: env b's next free slot
             slot_sel = (
-                jnp.arange(log_size)[None, :] == log.count[:, None]
-            ) & done[:, None]
+                jnp.arange(log_size)[:, None] == log.count[None, :]
+            ) & done[None, :]  # [R, B]
             log = log.replace(
                 data=jnp.where(
-                    slot_sel[:, :, None], payload[:, None, :], log.data
+                    slot_sel[None, :, :], payload[:, None, :], log.data
                 ),
                 count=log.count + done.astype(jnp.int32),
             )
@@ -637,7 +637,7 @@ def make_train_iteration(
             log=log,
         )
         snapshot = SnapshotStream(
-            board=flat[0],
+            board=cme.boards_cm[:, 0].astype(jnp.int8),  # one [16] column
             action=actions[0].astype(jnp.int8),
             reward=reward[0],
             done=done[0],
@@ -665,19 +665,19 @@ def make_train_chunk(config: T48Config, mesh=None, **ablation_flags) -> Callable
     Keyword flags pass through to ``make_train_iteration`` (bench
     ablations only)."""
     iteration = make_train_iteration(config, mesh=mesh, **ablation_flags)
-    use_cm = resolve_env_backend(config, mesh) == "pallas"
 
     def chunk(state: TrainState):
         state = state.replace(
             log=state.log.replace(count=jnp.zeros_like(state.log.count))
         )
-        if use_cm:  # Pallas env backend: carry the env cell-major in-chunk
-            state = state.replace(env=_to_cm_env(state.env))
+        # the whole in-chunk program is cell-major; the public TrainState
+        # keeps the checkpointed batch-major EnvState (one conversion per
+        # chunk edge, not per iteration)
+        state = state.replace(env=_to_cm_env(state.env))
         state, snaps = jax.lax.scan(
             lambda s, _: iteration(s), state, None, length=config.chunk_iters
         )
-        if use_cm:
-            state = state.replace(env=_from_cm_env(state.env, config.board_k))
+        state = state.replace(env=_from_cm_env(state.env, config.board_k))
         return state, snaps
 
     if mesh is None:
@@ -703,11 +703,11 @@ def drain_episode_log(log: EpisodeLog):
     import numpy as np
 
     counts = np.asarray(jax.device_get(log.count))  # [B]
-    data = np.asarray(jax.device_get(log.data))  # [B, R, 7]
+    data = np.asarray(jax.device_get(log.data))  # [7, R, B] batch minor
     r = data.shape[1]
     dropped = int(np.maximum(counts - r, 0).sum())
-    live = np.arange(r)[None, :] < counts[:, None]  # [B, R]
-    rows = data[live]  # [N, 7] int32, env-major
+    live = np.arange(r)[:, None] < counts[None, :]  # [R, B]
+    rows = data[:, live].T  # [N, 7] int32
     if not rows.size:
         return [], dropped
     rows = rows[np.argsort(rows[:, _LOG_NUMBER_COL], kind="stable")]

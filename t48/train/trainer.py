@@ -381,27 +381,41 @@ def train(
         )
 
     try:
-        while int(state.episodes_done) < target_episodes:
+        # PIPELINED chunk loop: chunk k+1 is dispatched (async, jax
+        # futures) BEFORE chunk k's episode log is drained — the
+        # host-side drain (device_get round-trip + metric processing,
+        # ~tens of ms per call on a remote-attached backend) overlaps the
+        # next chunk's device execution instead of idling the chip. Loop
+        # control reads chunk k's counters; on exit the one extra
+        # in-flight chunk is simply discarded (its state is never
+        # observed), so the returned/saved state is the last one whose
+        # metrics were drained.
+        pending = chunk(state) if int(state.episodes_done) < target_episodes else None
+        while pending is not None:
+            cur_state, snapshot = pending  # chunk k's output (in flight)
             if watchdog is not None:
-                watchdog.arm(state)
-            state, snapshot = chunk(state)
-            drained = int(state.episodes_done)  # forces chunk completion
-            if watchdog is not None:
-                watchdog.disarm()
-            del drained
-            if fault_at and int(state.episodes_done) >= fault_at:
-                raise RuntimeError(
-                    f"fault injection: episodes_done="
-                    f"{int(state.episodes_done)} >= {fault_at}"
-                )
+                watchdog.arm(state)  # state = last COMPLETED chunk
+            # dispatch chunk k+1 behind k on the device queue
+            pending = chunk(cur_state)
             episodes = []
             if coordinator:
-                episodes, dropped = loop_lib.drain_episode_log(state.log)
+                # blocks until chunk k completes; k+1 keeps the chip busy
+                episodes, dropped = loop_lib.drain_episode_log(cur_state.log)
                 # impossible by construction: the per-env slots are sized
                 # to the provable per-chunk bound (loop.effective_log_size)
                 assert dropped == 0, f"episode log overflow: dropped {dropped}"
                 experiment.add_episodes(episodes)
                 assembler.feed(snapshot)
+            state = cur_state
+            if watchdog is not None:
+                watchdog.disarm()  # the drain proved chunk k completed
+            if fault_at and int(state.episodes_done) >= fault_at:
+                raise RuntimeError(
+                    f"fault injection: episodes_done="
+                    f"{int(state.episodes_done)} >= {fault_at}"
+                )
+            if int(state.episodes_done) >= target_episodes:
+                pending = None
 
             if config.debug_invariants:
                 from t48.utils.debug import assert_env_invariants

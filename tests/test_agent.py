@@ -118,7 +118,8 @@ class TestReplayBuffer:
         rs = buffer.add_many(rs, self._tr(5, base=3))
         batch = buffer.sample(rs, jax.random.PRNGKey(0), 64)
         assert (np.asarray(batch.reward) == 3.0).all()
-        assert batch.state.shape == (64, 16)
+        # cell-major factored batch: [cells, draws, envs]
+        assert batch.state.shape == (16, 64, 1)
 
     def test_sampling_uniform_with_replacement(self):
         rs = buffer.create(capacity=8)
@@ -126,7 +127,7 @@ class TestReplayBuffer:
             tr = self._tr(1, base=i)
             rs = buffer.add_many(rs, tr)
         batch = buffer.sample(rs, jax.random.PRNGKey(1), 8000)
-        counts = np.bincount(np.asarray(batch.reward).astype(int), minlength=8)
+        counts = np.bincount(np.asarray(batch.reward).ravel().astype(int), minlength=8)
         assert (np.abs(counts / 8000 - 1 / 8) < 0.03).all()
 
     def test_per_env_rings(self):
@@ -149,11 +150,12 @@ class TestReplayBuffer:
         rewards = np.asarray(rs.reward)
         for e in range(4):
             assert set(rewards[e, :3]) == {10 * e, 10 * e + 1, 10 * e + 2}
-        # stratified sample: 8 draws → 2 per env, all from that env's ring
+        # stratified sample: 8 draws → 2 per env, all from that env's
+        # ring; sampled rows flatten in (draw, env) order
         batch = buffer.sample(rs, jax.random.PRNGKey(0), 8)
-        r = np.asarray(batch.reward).reshape(4, 2)
+        r = np.asarray(batch.reward).reshape(2, 4)
         for e in range(4):
-            assert (r[e] // 10 == e).all()
+            assert (r[:, e] // 10 == e).all()
 
     def test_add_many_pads_by_cycling(self):
         """Bulk seed of T % B != 0 transitions pads by cycling from the
@@ -272,3 +274,156 @@ class TestLearner:
         ):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
+
+
+class TestCellMajor:
+    """The cell-major hot-loop kernels match their batch-major twins."""
+
+    def test_cm_forward_matches_flax(self):
+        from t48.agent import cm_forward
+        from t48.train.loop import encoder_for
+
+        for arch in ("dense", "conv"):
+            net = networks.build_network(arch)
+            enc = encoder_for(arch, 4)
+            x = jax.random.randint(
+                jax.random.PRNGKey(0), (64, 16), 0, 12
+            ).astype(jnp.int8)
+            params = net.init(jax.random.PRNGKey(1), enc(x))
+            q_flax = net.apply(params, enc(x))  # [B, 4]
+            q_cm = cm_forward.build_cm_forward(arch)(
+                params, x.astype(jnp.int32).T
+            )  # [4, B]
+            np.testing.assert_allclose(
+                np.asarray(q_cm.T), np.asarray(q_flax), rtol=2e-5, atol=2e-5
+            )
+
+    def test_cm_forward_bf16_runs(self):
+        from t48.agent import cm_forward
+        from t48.train.loop import encoder_for
+
+        net = networks.build_network("conv")
+        enc = encoder_for("conv", 4)
+        x = jnp.zeros((8, 16), jnp.int8)
+        params = net.init(jax.random.PRNGKey(0), enc(x))
+        q = cm_forward.build_cm_forward("conv", jnp.bfloat16)(
+            params, x.astype(jnp.int32).T
+        )
+        assert q.shape == (4, 8) and q.dtype == jnp.bfloat16
+
+    def test_epsilon_greedy_cm_matches(self):
+        for compat in ("masked", "reference"):
+            k = jax.random.PRNGKey(3)
+            q = jax.random.normal(k, (128, 4))
+            legal = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.7, (128, 4))
+            legal = legal.at[:, 0].set(True)  # no all-illegal rows
+            for eps in (0.0, 0.5):
+                a1, q1 = policy.epsilon_greedy(k, q, legal, eps, compat)
+                a2, q2 = policy.epsilon_greedy_cm(k, q.T, legal.T, eps, compat)
+                assert np.array_equal(np.asarray(a1), np.asarray(a2))
+                np.testing.assert_allclose(np.asarray(q1), np.asarray(q2))
+
+    def test_select_action_cm(self):
+        from t48.agent.learner import _select_action, _select_action_cm
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (32, 4))
+        a = jax.random.randint(jax.random.PRNGKey(1), (32,), 0, 4)
+        np.testing.assert_allclose(
+            np.asarray(_select_action(q, a)),
+            np.asarray(_select_action_cm(q.T, a)),
+        )
+
+    def test_cm_train_step_matches_batch_major(self):
+        """One learner update, cm vs batch-major paths: same loss and
+        same updated params (float tolerance)."""
+        from t48.agent import cm_forward, learner
+        from t48.train.loop import encoder_for
+
+        net = networks.build_network("conv")
+        enc = encoder_for("conv", 4)
+        n = 64
+        k = jax.random.PRNGKey(9)
+        tr = buffer.Transition(
+            state=jax.random.randint(k, (n, 16), 0, 8).astype(jnp.int8),
+            action=jax.random.randint(jax.random.fold_in(k, 1), (n,), 0, 4),
+            reward=jax.random.uniform(jax.random.fold_in(k, 2), (n,)) * 8,
+            next_state=jax.random.randint(
+                jax.random.fold_in(k, 3), (n, 16), 0, 8
+            ).astype(jnp.int8),
+            done=jax.random.bernoulli(jax.random.fold_in(k, 4), 0.1, (n,)),
+        )
+        params = net.init(jax.random.PRNGKey(0), enc(tr.state))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        step_bm = learner.make_train_step(net.apply, enc, opt, 0.9)
+        out_bm = step_bm(params, params, opt_state, tr)
+
+        cmt = buffer.to_cm(tr)
+        apply_cm = cm_forward.build_cm_forward("conv")
+        step_cm = learner.make_train_step(
+            apply_cm, lambda x: x, opt, 0.9, cm=True
+        )
+        out_cm = step_cm(params, params, opt_state, cmt)
+        np.testing.assert_allclose(
+            float(out_bm.loss), float(out_cm.loss), rtol=1e-4
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_bm.params),
+            jax.tree_util.tree_leaves(out_cm.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+            )
+
+
+class TestSampleCap:
+    def test_cap_masks_to_batch_size(self):
+        """env_batch > batch_size: raw draw is one row per env; cap
+        attaches a 0/1 weight with EXACTLY batch_size ones."""
+        rs = buffer.create(capacity=64, env_batch=32)
+        tr = buffer.Transition(
+            state=jnp.ones((32, 16), jnp.int8),
+            action=jnp.zeros((32,), jnp.int32),
+            reward=jnp.ones((32,), jnp.float32),
+            next_state=jnp.ones((32, 16), jnp.int8),
+            done=jnp.zeros((32,), bool),
+        )
+        rs = buffer.add_step(rs, tr)
+        batch = buffer.sample(rs, jax.random.PRNGKey(0), 12, cap=True)
+        assert batch.weight is not None
+        w = np.asarray(batch.weight)
+        assert w.shape == (1, 32) and int(w.sum()) == 12
+        assert set(np.unique(w)) <= {0.0, 1.0}
+        # no cap → no weight
+        batch2 = buffer.sample(rs, jax.random.PRNGKey(0), 12, cap=False)
+        assert batch2.weight is None
+        # cap that doesn't bind (raw <= batch_size) → no weight
+        batch3 = buffer.sample(rs, jax.random.PRNGKey(0), 32, cap=True)
+        assert batch3.weight is None
+
+    def test_weight_scales_loss(self):
+        from t48.agent import cm_forward, learner
+
+        net = networks.build_network("dense")
+        x = jnp.zeros((8, 16), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        apply_cm = cm_forward.build_cm_forward("dense")
+        k = jax.random.PRNGKey(2)
+        cmt = buffer.CMTransition(
+            state=jax.random.randint(k, (16, 8), 0, 6).astype(jnp.float32),
+            action=jax.random.randint(jax.random.fold_in(k, 1), (8,), 0, 4),
+            reward=jnp.ones((8,), jnp.float32),
+            next_state=jax.random.randint(
+                jax.random.fold_in(k, 2), (16, 8), 0, 6
+            ).astype(jnp.float32),
+            done=jnp.zeros((8,), bool),
+        )
+        full = learner.td_loss(
+            apply_cm, params, params, lambda v: v, cmt, 0.9, cm=True
+        )
+        half = learner.td_loss(
+            apply_cm, params, params, lambda v: v,
+            cmt._replace(weight=jnp.array([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32)),
+            0.9, cm=True,
+        )
+        assert 0 < float(half) < float(full)

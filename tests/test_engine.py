@@ -351,3 +351,70 @@ class TestRolloutAgainstGolden:
                     == nxt.merge_score() - golden.merge_score()
                 )
             golden = nxt
+
+
+class TestEnvStepCM:
+    """engine.env_step_cm — the XLA twin of the Pallas training kernel —
+    reproduces the component semantics (apply-chosen, spawn-on-move,
+    auto-reset, carried legality)."""
+
+    def _random_boards(self, b=128, steps=25):
+        key = jax.random.PRNGKey(11)
+        env = engine.init(key, b)
+
+        def body(carry, i):
+            env = carry
+            k1, k2, k3 = jax.random.split(jax.random.fold_in(key, i), 3)
+            acts = jax.random.randint(k1, (b,), 0, 4)
+            env, _, done = engine.step(env, acts, k2)
+            env = engine.reset_where(env, done, k3)
+            return env, None
+
+        env, _ = jax.lax.scan(body, env, jnp.arange(steps))
+        return env.boards
+
+    def test_contract(self):
+        b = 128
+        boards = self._random_boards(b)
+        cells = engine.split_cells(boards)
+        legal_list = engine.legal_cells(cells, 4)
+        legal_cm = jnp.stack([l.astype(jnp.int32) for l in legal_list])
+        cm = jnp.stack(cells)
+        actions = jax.random.randint(jax.random.PRNGKey(5), (b,), 0, 4)
+        new_cm, pre_cm, new_legal_cm, reward = jax.jit(engine.env_step_cm)(
+            cm, legal_cm, actions, jax.random.PRNGKey(6)
+        )
+
+        sel_cells, delta = engine.apply_chosen_cells(cells, actions, 4)
+        did = np.asarray(engine._select_lane(legal_list, actions))
+        exp_reward = np.where(did, np.asarray(delta), 0)
+        assert np.array_equal(np.asarray(reward), exp_reward)
+
+        merged = np.asarray(engine.assemble_cells(sel_cells, 4)).reshape(b, 16)
+        pre = np.asarray(pre_cm).T
+        orig = np.asarray(boards).reshape(b, 16)
+        done = ~np.asarray(jnp.stack(legal_list)).any(0)
+        new = np.asarray(new_cm).T
+        for i in range(b):
+            if did[i]:
+                diff = pre[i] - merged[i]
+                nz = np.nonzero(diff)[0]
+                assert len(nz) == 1  # exactly one spawned tile
+                assert merged[i][nz[0]] == 0 and pre[i][nz[0]] in (1, 2)
+            else:
+                assert np.array_equal(pre[i], orig[i])
+            if done[i]:
+                vals = new[i][new[i] > 0]
+                assert len(vals) == 2 and set(vals) <= {1, 2}
+            else:
+                assert np.array_equal(new[i], pre[i])
+
+        # emitted legality matches recomputed legality of the new boards
+        new_boards = jnp.asarray(new).reshape(b, 4, 4)
+        expect_legal = jnp.stack(
+            [
+                l.astype(jnp.int32)
+                for l in engine.legal_cells(engine.split_cells(new_boards), 4)
+            ]
+        )
+        assert np.array_equal(np.asarray(new_legal_cm), np.asarray(expect_legal))

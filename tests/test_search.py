@@ -98,4 +98,5 @@ class TestSeeding:
         rs = replay_lib.add_many(rs, tr)
         assert int(rs.fill) == tr.action.shape[0]
         batch = replay_lib.sample(rs, jax.random.PRNGKey(0), 16)
-        assert batch.state.shape == (16, 16)
+        # cell-major factored batch: [cells, draws, envs]
+        assert batch.state.shape == (16, 16, 1)

@@ -49,7 +49,8 @@ class TestMesh:
         state = loop_lib.create_train_state(cfg)
         sh = train_state_shardings(state, mesh, cfg)
         assert sh.env.boards.spec == P("data")
-        assert sh.replay.rows.spec == P("data")
+        # replay rows are cell-major [components, ring, B]: 'data' minor
+        assert sh.replay.rows.spec == P(None, None, "data")
         assert sh.ep_reward_sum.spec == P("data")
         # params replicated
         for leaf in jax.tree_util.tree_leaves(sh.params):
@@ -76,7 +77,7 @@ class TestMesh:
             loop_lib.create_train_state(cfg), mesh, cfg
         )
         assert direct.env.boards.sharding.spec == P("data")
-        assert direct.replay.state.sharding.spec == P("data")
+        assert direct.replay.rows.sharding.spec == P(None, None, "data")
         for a, b in zip(
             jax.tree_util.tree_leaves(direct), jax.tree_util.tree_leaves(placed)
         ):

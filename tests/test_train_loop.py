@@ -107,7 +107,7 @@ class TestTrainChunk:
         min_len = cfg.board_k * cfg.board_k - 2
         assert eff == 1 + (cfg.chunk_iters - 1) // min_len
         state = loop_lib.create_train_state(cfg)
-        assert state.log.data.shape[:2] == (cfg.env_batch, eff)
+        assert state.log.data.shape[1:] == (eff, cfg.env_batch)
         chunk = loop_lib.make_train_chunk(cfg)
         total = 0
         for _ in range(4):
