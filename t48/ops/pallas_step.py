@@ -487,9 +487,9 @@ def pallas_env_step(
              reward int32[B] — merge-score delta, 0 on no-op/terminal).
     """
     n = boards_cm.shape[1]
-    block = n if n < 1024 else 1024
+    block = 1024  # (8 sublanes × 128 lanes) folding needs block % 1024 == 0
     grid = n // block
-    assert grid * block == n and block % 8 == 0, (n, block)
+    assert grid * block == n, (n, block)
     out = pl.pallas_call(
         _env_step_kernel,
         grid=(grid,),

@@ -194,9 +194,11 @@ def resolve_env_backend(config: T48Config, mesh=None) -> str:
     """Trace-time choice of the in-loop env step implementation.
 
     'auto' → the fused Pallas kernel iff running on TPU with k=4 and a
-    per-shard batch the kernel can tile ((multiple of 1024) or (< 1024
-    and a multiple of 8)); the XLA engine otherwise (CPU tests, the
-    virtual-device dry run, odd shapes).
+    per-shard batch that is a multiple of 1024 (the kernel folds its
+    block into (8 sublanes, block/8 lanes) — Mosaic requires the lane
+    count be a multiple of the 128-wide vregs, so block % 1024 == 0);
+    the XLA cell-major engine otherwise (CPU tests, the virtual-device
+    dry run, small/odd batches).
     """
     if config.env_backend != "auto":
         return config.env_backend
@@ -206,9 +208,7 @@ def resolve_env_backend(config: T48Config, mesh=None) -> str:
         on_tpu = False
     n_shards = 1 if mesh is None else int(np_prod_mesh(mesh))
     per_shard = config.env_batch // max(n_shards, 1)
-    tileable = (per_shard % 1024 == 0) or (
-        per_shard < 1024 and per_shard % 8 == 0 and per_shard > 0
-    )
+    tileable = per_shard > 0 and per_shard % 1024 == 0
     ok = (
         on_tpu
         and config.board_k == 4

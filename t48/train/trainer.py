@@ -409,6 +409,9 @@ def train(
             state = cur_state
             if watchdog is not None:
                 watchdog.disarm()  # the drain proved chunk k completed
+            if meter.total_steps == 0 and int(state.env_steps):
+                # first chunk done: drop compile time from the rate window
+                meter.reset_baseline()
             if fault_at and int(state.episodes_done) >= fault_at:
                 raise RuntimeError(
                     f"fault injection: episodes_done="

@@ -51,8 +51,21 @@ class ThroughputMeter:
         self.total_steps = 0
         self.total_episodes = 0
 
+    def reset_baseline(self) -> None:
+        """Restart rate tracking from the CURRENT totals — call after the
+        first (compile-laden) chunk so short runs report steady-state
+        throughput, not compile amortization."""
+        self._last_time = None
+        self._first_time = None
+        self.steps_per_s = 0.0
+        self.episodes_per_s = 0.0
+
     def update(self, total_steps: int, total_episodes: int) -> None:
         now = time.perf_counter()
+        if getattr(self, "_first_time", None) is None:
+            self._first_time = now
+            self._first_steps = total_steps
+            self._first_episodes = total_episodes
         if self._last_time is not None:
             dt = max(now - self._last_time, 1e-9)
             inst_steps = (total_steps - self._last_steps) / dt
@@ -67,9 +80,19 @@ class ThroughputMeter:
         self.total_episodes = total_episodes
 
     def summary(self) -> dict:
-        return {
+        out = {
             "env_steps_per_s": round(self.steps_per_s, 1),
             "episodes_per_s": round(self.episodes_per_s, 2),
             "total_env_steps": self.total_steps,
             "total_episodes": self.total_episodes,
         }
+        first_t = getattr(self, "_first_time", None)
+        if first_t is not None and self._last_time and self._last_time > first_t:
+            dt = self._last_time - first_t
+            out["avg_env_steps_per_s"] = round(
+                (self.total_steps - self._first_steps) / dt, 1
+            )
+            out["avg_episodes_per_s"] = round(
+                (self.total_episodes - self._first_episodes) / dt, 2
+            )
+        return out
