@@ -75,7 +75,14 @@ def conv_q_cm(params, x_cm, dtype=jnp.float32):
     q [4, *batch].
 
     Mirrors networks.ConvQNet (1→64 2×2 VALID → 64 2×2 VALID → flatten
-    → 64 → 4, ReLU, NHWC) with both convs as im2col matmuls.
+    → 64 → 4, ReLU, NHWC) with both convs as im2col matmuls (the tap
+    gathers are static re-indexings of the 16 cell rows).
+
+    A block-densified conv-as-one-GEMM variant (the 2×2 kernels
+    scattered into [16,576]/[576,256] structured weight matrices) was
+    measured head-to-head and LOST ~1.4× end-to-end: the per-call
+    densify scatter and its gradient outweigh the im2col gather, which
+    XLA fuses well at these shapes (benchmarks/learner_flags_r03.md).
     """
     p = params["params"]
     x = x_cm.astype(dtype)  # [16, *batch]
