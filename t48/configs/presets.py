@@ -59,6 +59,12 @@ class T48Config:
     # longer than this, assume a peer process died mid-collective — dump
     # this process's shards (collective-free) and exit. 0 disables.
     watchdog_timeout_s: float = 0.0
+    # minimum seconds between periodic autosaves. The reference saves
+    # every 1000 episodes (dqn_lib.py:229-231) — at ~250k episodes/s
+    # that fires every chunk and the (collective) state gather + host
+    # write throttles the device; the episode gate still applies, this
+    # additionally rate-limits in wall time. 0 = reference behavior.
+    autosave_min_interval_s: float = 30.0
     # --- learner compute options. Defaults follow IN-LOOP round-robin
     # measurements on v5e (benchmarks/learner_flags_r03.md), which
     # overturn the isolated microbench (scripts/learner_microbench.py):

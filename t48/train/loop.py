@@ -692,6 +692,30 @@ def make_train_chunk(config: T48Config, mesh=None, **ablation_flags) -> Callable
     return jax.jit(chunk, out_shardings=(state_sh, snap_sh))
 
 
+def start_drain(log: EpisodeLog):
+    """Phase 1 of the episode drain: read the per-env counts and ENQUEUE
+    the live-prefix slice of the log ring on the device.
+
+    Call this BEFORE dispatching the next chunk: the slice is a device
+    op, and a TPU runs one program at a time — enqueued after the next
+    chunk it would wait the whole chunk out, serializing the drain with
+    device execution. Enqueued here it runs immediately after the chunk
+    that produced the log, and its transfer then overlaps the next
+    chunk. Returns an opaque handle for ``finish_drain``.
+    """
+    import numpy as np
+
+    counts = np.asarray(jax.device_get(log.count))  # [B]
+    r = log.data.shape[1]
+    # transfer only the live slot prefix: the provable worst-case slot
+    # capacity R is ~19 per env per 256-iter chunk but the typical max is
+    # 2-6, and on a remote-attached backend the full-ring transfer
+    # dominates the whole drain (~330ms for [7,19,16384] vs ~100ms live)
+    m_live = int(min(counts.max(initial=0), r))
+    data_fut = log.data[:, :m_live, :] if m_live else None
+    return counts, r, data_fut
+
+
 def drain_episode_log(log: EpisodeLog):
     """Host-side: extract this chunk's completed episodes.
 
@@ -699,14 +723,25 @@ def drain_episode_log(log: EpisodeLog):
     ``dropped`` counts completions beyond an env's slot capacity; with
     slots sized by ``effective_log_size`` this is provably always 0 when
     draining once per chunk (the trainer asserts it).
+
+    Pipelined callers use ``start_drain`` + ``finish_drain`` instead
+    (same result; the device slice overlaps the next chunk).
     """
+    return finish_drain(start_drain(log))
+
+
+def finish_drain(handle):
+    """Phase 2 of the episode drain: fetch the live slice and build the
+    episode records (see ``start_drain``)."""
     import numpy as np
 
-    counts = np.asarray(jax.device_get(log.count))  # [B]
-    data = np.asarray(jax.device_get(log.data))  # [7, R, B] batch minor
-    r = data.shape[1]
+    counts, r, data_fut = handle
     dropped = int(np.maximum(counts - r, 0).sum())
-    live = np.arange(r)[:, None] < counts[None, :]  # [R, B]
+    if data_fut is None:
+        return [], dropped
+    m_live = data_fut.shape[1]
+    data = np.asarray(jax.device_get(data_fut))
+    live = np.arange(m_live)[:, None] < counts[None, :]  # [m, B]
     rows = data[:, live].T  # [N, 7] int32
     if not rows.size:
         return [], dropped
@@ -714,16 +749,21 @@ def drain_episode_log(log: EpisodeLog):
     floats = np.ascontiguousarray(rows[:, list(_LOG_FLOAT_COLS)]).view(
         np.float32
     )
+    # bulk tolist() + dict literals: ~4x faster than per-element
+    # int()/float() casts (this runs for every completed episode — up to
+    # hundreds of thousands per second at large env batches)
+    int_rows = rows[:, [0, 1, 2, 6]].tolist()
+    flt_rows = floats.tolist()
     episodes = [
         {
-            "max_tile": int(rows[i, 0]),
-            "merge_score": int(rows[i, 1]),
-            "number": int(rows[i, 2]),
-            "reward": float(floats[i, 0]),
-            "q_value": float(floats[i, 1]),
-            "epsilon": float(floats[i, 2]),
-            "number_moves": int(rows[i, 6]),
+            "max_tile": mt,
+            "merge_score": ms,
+            "number": num,
+            "reward": rw,
+            "q_value": qv,
+            "epsilon": eps,
+            "number_moves": mv,
         }
-        for i in range(rows.shape[0])
+        for (mt, ms, num, mv), (rw, qv, eps) in zip(int_rows, flt_rows)
     ]
     return episodes, dropped

@@ -51,7 +51,7 @@ class NullExperiment:
     def snapshot_game(self, board_history, episode: int) -> None:
         pass
 
-    def save(self) -> None:
+    def save(self, light: bool = False) -> None:
         pass
 
     def close(self) -> None:
@@ -131,10 +131,11 @@ class SnapshotAssembler:
         self.games_completed = 0
 
     def feed(self, snapshot: loop_lib.SnapshotStream) -> None:
-        boards = np.asarray(jax.device_get(snapshot.board))
-        actions = np.asarray(jax.device_get(snapshot.action))
-        rewards = np.asarray(jax.device_get(snapshot.reward))
-        dones = np.asarray(jax.device_get(snapshot.done))
+        # one batched transfer (4 separate device_gets cost 4 round
+        # trips, ~25ms each on a remote-attached backend)
+        boards, actions, rewards, dones = (
+            np.asarray(x) for x in jax.device_get(tuple(snapshot))
+        )
         for t in range(boards.shape[0]):
             exps = boards[t].astype(np.int64).reshape(self.k, self.k)
             values = np.where(exps == 0, 0, 2**exps)
@@ -334,24 +335,27 @@ def train(
 
     target_episodes = max_episodes if max_episodes is not None else config.no_episodes
     last_save = int(state.episodes_done)
+    last_save_t = time.monotonic()
     last_print = int(state.episodes_done)
     meter = ThroughputMeter()
     meter.update(int(state.env_steps), int(state.episodes_done))
 
     checkpointer = AsyncCheckpointer()
 
-    def _save_all():
+    def _save_all(light: bool = False):
         # HAPPY-PATH save: the gather is a collective — every process must
         # run it (all reach this point together between chunks). The host
         # transfer + npz write then run on the checkpointer's thread,
         # overlapped with the next chunk (no save-boundary stall).
+        # ``light`` = periodic autosave: skip the O(episodes) pickle
+        # rewrite (experiment.save docstring).
         ckpt_state = state
         if mesh is not None and multiprocess:
             from t48.distrib import fully_replicated
 
             ckpt_state = fully_replicated(state, mesh)
         if coordinator:
-            experiment.save()
+            experiment.save(light=light)
             checkpointer.save(experiment.checkpoint_path, ckpt_state)
 
     def _emergency_save():
@@ -395,12 +399,18 @@ def train(
             cur_state, snapshot = pending  # chunk k's output (in flight)
             if watchdog is not None:
                 watchdog.arm(state)  # state = last COMPLETED chunk
+            # drain phase 1 first: the live-prefix log slice is a device
+            # op — enqueued before chunk k+1 it runs right after chunk k
+            # instead of waiting out the whole next chunk
+            drain_handle = (
+                loop_lib.start_drain(cur_state.log) if coordinator else None
+            )
             # dispatch chunk k+1 behind k on the device queue
             pending = chunk(cur_state)
             episodes = []
             if coordinator:
-                # blocks until chunk k completes; k+1 keeps the chip busy
-                episodes, dropped = loop_lib.drain_episode_log(cur_state.log)
+                # transfers + record building overlap chunk k+1
+                episodes, dropped = loop_lib.finish_drain(drain_handle)
                 # impossible by construction: the per-env slots are sized
                 # to the provable per-chunk bound (loop.effective_log_size)
                 assert dropped == 0, f"episode log overflow: dropped {dropped}"
@@ -409,15 +419,23 @@ def train(
             state = cur_state
             if watchdog is not None:
                 watchdog.disarm()  # the drain proved chunk k completed
-            if meter.total_steps == 0 and int(state.env_steps):
+            # one batched transfer for both loop-control counters (two
+            # separate int() casts cost two ~25ms round trips on a
+            # remote-attached backend)
+            done_now, steps_now = (
+                int(x)
+                for x in jax.device_get(
+                    (state.episodes_done, state.env_steps)
+                )
+            )
+            if meter.total_steps == 0 and steps_now:
                 # first chunk done: drop compile time from the rate window
                 meter.reset_baseline()
-            if fault_at and int(state.episodes_done) >= fault_at:
+            if fault_at and done_now >= fault_at:
                 raise RuntimeError(
-                    f"fault injection: episodes_done="
-                    f"{int(state.episodes_done)} >= {fault_at}"
+                    f"fault injection: episodes_done={done_now} >= {fault_at}"
                 )
-            if int(state.episodes_done) >= target_episodes:
+            if done_now >= target_episodes:
                 pending = None
 
             if config.debug_invariants:
@@ -425,8 +443,7 @@ def train(
 
                 assert_env_invariants(state.env.boards, state.env.merge_scores)
 
-            done_now = int(state.episodes_done)
-            meter.update(int(state.env_steps), done_now)
+            meter.update(steps_now, done_now)
             if verbose and episodes and done_now - last_print >= 10:
                 ep = episodes[-1]
                 # reference console line (dqn_lib.py:210-212)
@@ -435,9 +452,13 @@ def train(
                     f"{ep['max_tile']}, {ep['number_moves']}"
                 )
                 last_print = done_now
-            if done_now - last_save >= 1000:
-                _save_all()
+            if done_now - last_save >= 1000 and (
+                time.monotonic() - last_save_t
+                >= config.autosave_min_interval_s
+            ):
+                _save_all(light=True)
                 last_save = done_now
+                last_save_t = time.monotonic()
                 if verbose:
                     s = meter.summary()
                     print(
