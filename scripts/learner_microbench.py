@@ -1,5 +1,12 @@
 """Microbenchmark learner-update variants on the live backend.
 
+CAUTION — superseded for decision-making by the IN-LOOP round-robin
+measurements in benchmarks/learner_flags_r03.md: the isolated timings
+below found bf16/fused/flat each winning 2-4x, but inside the real
+training chunk fused and flat LOSE (relayout + ravel/unravel costs the
+surrounding program pays). Kept as the op-level instrument; always
+confirm flag decisions in-loop.
+
 Times one Double-DQN train_step at the training batch size under several
 candidate optimizations, to decide what goes into the real learner:
 
