@@ -138,6 +138,15 @@ class Experiment:
         ``json.dumps`` for episodes that don't match the standard
         7-key schema."""
         self.episodes.extend(episodes)
+        jsonl = getattr(episodes, "jsonl", None)
+        if jsonl is not None:
+            # native episode sink (t48/native): pre-formatted bytes —
+            # flush any pending Python-formatted lines first to keep
+            # file order, then append directly
+            self._flush_jsonl()
+            with open(self._p("binary/episodes.jsonl"), "ab") as f:
+                f.write(jsonl)
+            return
         try:
             lines = [
                 f'{{"max_tile": {e["max_tile"]}, '

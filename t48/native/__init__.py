@@ -70,6 +70,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.t48_unpack.restype = None
     lib.t48_random_rollout.argtypes = [u64, i32, i32, p_u32, p_u8, p_i32]
     lib.t48_random_rollout.restype = ctypes.c_long
+    lib.t48_format_episodes_jsonl.argtypes = [
+        p_i32, i32, ctypes.c_char_p, ctypes.c_long
+    ]
+    lib.t48_format_episodes_jsonl.restype = ctypes.c_long
 
     lib.t48_init()
     _lib = lib
@@ -186,3 +190,27 @@ def random_rollout(seed: int, n_games: int, max_steps: int = 10_000):
     )
     max_tiles = np.where(max_exps == 0, 0, 2 ** max_exps.astype(np.int64))
     return total, scores, max_tiles, moves
+
+
+def format_episodes_jsonl(rows: np.ndarray) -> bytes:
+    """Format the trainer's packed int32 [N, 7] episode rows (max_tile,
+    merge_score, number, reward_bits, q_bits, eps_bits, number_moves)
+    into JSONL bytes — the native episode sink (~20× the Python
+    per-episode formatting; see board2048.cpp). Raises if the native
+    library is unavailable — callers fall back to the Python path."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_load_error}")
+    rows = np.ascontiguousarray(rows, np.int32)
+    n = rows.shape[0]
+    cap = 256 * n + 16
+    buf = np.empty(cap, np.uint8)  # no memset (create_string_buffer zeroes)
+    written = lib.t48_format_episodes_jsonl(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n,
+        buf.ctypes.data_as(ctypes.c_char_p),
+        cap,
+    )
+    if written < 0:
+        raise RuntimeError("episode JSONL buffer overflow")
+    return buf[:written].tobytes()

@@ -20,6 +20,7 @@
 // Build: g++ -O3 -shared -fPIC -o libt48.so board2048.cpp
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 
 namespace {
@@ -272,6 +273,46 @@ long t48_random_rollout(uint64_t seed, int n_games, int max_steps,
     if (out_moves) out_moves[g] = moves;
   }
   return total_steps;
+}
+
+// ---------------------------------------------------------------------------
+// Episode sink: JSONL formatting of the trainer's per-episode metric rows.
+//
+// The training loop drains hundreds of thousands of completed episodes per
+// second at large env batches (t48/train/loop.py drain); formatting each as
+// a JSON line in Python costs ~1.5us/episode even with f-strings and was a
+// measurable slice of the host critical path. This formatter takes the
+// drain's packed int32 [n][7] rows (max_tile, merge_score, number,
+// reward_bits, q_bits, eps_bits, number_moves — floats bitcast to int32)
+// and emits the exact JSONL schema the Python path writes. %.9g round-trips
+// every float32 value.
+// ---------------------------------------------------------------------------
+
+static inline float bits_to_float(int32_t b) {
+  float f;
+  memcpy(&f, &b, sizeof(f));
+  return f;
+}
+
+// Returns bytes written (excluding NUL), or -1 if `cap` is too small.
+// Each line ends with '\n'.
+long t48_format_episodes_jsonl(const int32_t *rows, int n, char *out,
+                               long cap) {
+  long w = 0;
+  for (int i = 0; i < n; ++i) {
+    const int32_t *r = rows + 7 * i;
+    if (cap - w < 256) return -1;  // worst-case line length bound
+    int k = snprintf(
+        out + w, (size_t)(cap - w),
+        "{\"max_tile\": %d, \"merge_score\": %d, \"number\": %d, "
+        "\"reward\": %.9g, \"q_value\": %.9g, \"epsilon\": %.9g, "
+        "\"number_moves\": %d}\n",
+        r[0], r[1], r[2], (double)bits_to_float(r[3]),
+        (double)bits_to_float(r[4]), (double)bits_to_float(r[5]), r[6]);
+    if (k < 0 || k >= cap - w) return -1;
+    w += k;
+  }
+  return w;
 }
 
 }  // extern "C"

@@ -730,6 +730,15 @@ def drain_episode_log(log: EpisodeLog):
     return finish_drain(start_drain(log))
 
 
+class EpisodeList(list):
+    """Episode dicts plus (optionally) their pre-formatted JSONL bytes
+    (the native episode sink, t48/native/board2048.cpp) — duck-typed as
+    a plain list everywhere; ``Experiment.add_episodes`` uses ``jsonl``
+    when present to skip Python-side formatting."""
+
+    jsonl = None  # Optional[bytes]
+
+
 def finish_drain(handle):
     """Phase 2 of the episode drain: fetch the live slice and build the
     episode records (see ``start_drain``)."""
@@ -738,7 +747,7 @@ def finish_drain(handle):
     counts, r, data_fut = handle
     dropped = int(np.maximum(counts - r, 0).sum())
     if data_fut is None:
-        return [], dropped
+        return EpisodeList(), dropped
     m_live = data_fut.shape[1]
     data = np.asarray(jax.device_get(data_fut))
     live = np.arange(m_live)[:, None] < counts[None, :]  # [m, B]
@@ -754,7 +763,7 @@ def finish_drain(handle):
     # hundreds of thousands per second at large env batches)
     int_rows = rows[:, [0, 1, 2, 6]].tolist()
     flt_rows = floats.tolist()
-    episodes = [
+    episodes = EpisodeList(
         {
             "max_tile": mt,
             "merge_score": ms,
@@ -765,5 +774,11 @@ def finish_drain(handle):
             "number_moves": mv,
         }
         for (mt, ms, num, mv), (rw, qv, eps) in zip(int_rows, flt_rows)
-    ]
+    )
+    try:  # native episode sink: pre-format the JSONL off the int rows
+        from t48 import native
+
+        episodes.jsonl = native.format_episodes_jsonl(rows)
+    except Exception:
+        pass  # Python formatting fallback in Experiment.add_episodes
     return episodes, dropped

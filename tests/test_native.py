@@ -119,3 +119,81 @@ class TestSearchOnNative:
         assert 64 in node.board
         path = node.path_from_root()
         assert path[0].is_root()
+
+
+class TestEpisodeSink:
+    def test_jsonl_matches_python_formatting(self):
+        """The native episode sink's JSONL parses to the same values the
+        Python path would produce (same 7-key schema; float32-exact)."""
+        import json
+
+        import numpy as np
+
+        from t48 import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip(native.load_error())
+
+        def bits(x):
+            return np.float32(x).view(np.int32)
+
+        rows = np.array(
+            [
+                [128, 1860, 890, bits(12.5), bits(-0.321), bits(0.01), 144],
+                [2048, 33333, 12345, bits(0.0), bits(1e-7), bits(1.0), 9],
+                [4, 0, 0, bits(-0.0), bits(3.14159), bits(0.5), 1],
+            ],
+            np.int32,
+        )
+        out = native.format_episodes_jsonl(rows).decode()
+        lines = out.splitlines()
+        assert len(lines) == 3
+        for line, r in zip(lines, rows):
+            d = json.loads(line)
+            assert list(d) == [
+                "max_tile", "merge_score", "number", "reward",
+                "q_value", "epsilon", "number_moves",
+            ]
+            assert d["max_tile"] == int(r[0])
+            assert d["merge_score"] == int(r[1])
+            assert d["number"] == int(r[2])
+            assert d["number_moves"] == int(r[6])
+            for key, col in (("reward", 3), ("q_value", 4), ("epsilon", 5)):
+                assert np.float32(d[key]) == r[col].view(np.float32)
+
+    def test_drain_attaches_native_jsonl(self):
+        """finish_drain attaches the native bytes; Experiment consumes
+        them (episodes.jsonl content parses to the drained episodes)."""
+        import json
+
+        from t48.configs import get_preset
+        from t48.train import loop as loop_lib
+
+        cfg = get_preset(
+            "dense", env_batch=8, batch_size=16, replay_buffer_length=128,
+            no_episodes_before_training=2, chunk_iters=64,
+            episode_log_size=256, seed=0,
+        )
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+        episodes = []
+        for _ in range(6):  # episodes take ~110+ steps to finish
+            state, _ = chunk(state)
+            episodes, dropped = loop_lib.drain_episode_log(state.log)
+            assert dropped == 0
+            if episodes:
+                break
+        assert episodes
+        from t48 import native
+
+        if native.available():
+            assert episodes.jsonl is not None
+            parsed = [
+                json.loads(l) for l in episodes.jsonl.decode().splitlines()
+            ]
+            assert len(parsed) == len(episodes)
+            for a, b in zip(parsed, episodes):
+                assert a["max_tile"] == b["max_tile"]
+                assert a["number"] == b["number"]
