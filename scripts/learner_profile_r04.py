@@ -1,0 +1,394 @@
+#!/usr/bin/env python
+"""Round-4 learner profiling: where do the in-loop update's microseconds go?
+
+VERDICT r03 weak #1: the in-loop learner runs at 0.14-0.17 of bf16 peak
+and is 66% of the training iteration; nobody profiled where inside the
+update the other ~85% of the time goes. This script answers that with
+two complementary measurements on the real TPU:
+
+1. **In-loop marginal cost**: time the REAL train chunk at several
+   ``max_updates_per_iteration`` values; the slope of chunk-time vs n_up
+   is the true per-update cost inside the scan context (the only number
+   that matters, per benchmarks/learner_flags_r03.md's lesson).
+
+2. **Bisected synthetic scan**: a minimal lax.scan that mimics the
+   in-loop learner (sample -> train_step -> select-merge keep) with
+   pieces ablated one at a time, so the per-update cost decomposes into
+   sample / forwards / backward / Adam / keep-merge / scan machinery.
+
+All trials are interleaved round-robin (the shared pool drifts >2x over
+minutes) and pipelined 4-8 calls per sync (one dispatch+sync round trip
+through the tunnel costs ~30ms regardless of program).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _cache():
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def interleaved_time(fns: dict, trials: int = 6):
+    """{name: (call, sync)} -> {name: best elapsed s}; round-robin."""
+    best = {k: float("inf") for k in fns}
+    # warmup all (compile)
+    for name, (call, sync) in fns.items():
+        sync(call())
+    for _ in range(trials):
+        for name, (call, sync) in fns.items():
+            t0 = time.perf_counter()
+            out = call()
+            sync(out)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    return best
+
+
+def in_loop_marginal(env_batch: int, chunk_iters: int, n_ups, pipeline: int, trials: int):
+    """Chunk time at several max_updates values -> marginal cost/update."""
+    from t48.configs import get_preset
+    from t48.train import loop as loop_lib
+
+    fns = {}
+    states = {}
+    for n_up in n_ups:
+        cfg = get_preset(
+            "sss_published",
+            env_batch=env_batch,
+            chunk_iters=chunk_iters,
+            max_updates_per_iteration=max(n_up, 1),
+            no_episodes_before_training=0,
+            use_astar_seed=False,
+            seed=0,
+        )
+        state = loop_lib.create_train_state(cfg)
+        chunk = (
+            loop_lib.make_train_chunk(cfg)
+            if n_up > 0
+            else loop_lib.make_train_chunk(cfg, with_learner=False)
+        )
+
+        def call(chunk=chunk, n_up=n_up):
+            s = states[n_up]
+            for _ in range(pipeline):
+                s = chunk(s)[0]
+            states[n_up] = s
+            return s
+
+        def sync(s):
+            return float(jax.device_get(s.env.merge_scores.sum()))
+
+        states[n_up] = state
+        fns[n_up] = (call, sync)
+
+    best = interleaved_time(fns, trials)
+    out = {}
+    for n_up, elapsed in best.items():
+        per_chunk = elapsed / pipeline
+        out[n_up] = {
+            "s_per_chunk": per_chunk,
+            "us_per_iter": per_chunk / chunk_iters * 1e6,
+        }
+    ks = sorted(out)
+    for a, b in zip(ks, ks[1:]):
+        du = out[b]["us_per_iter"] - out[a]["us_per_iter"]
+        out[b]["marginal_us_per_update"] = du / (b - a)
+    return out
+
+
+def synthetic_scan_bisect(
+    env_batch: int, batch_size: int, n_up: int, scan_len: int,
+    pipeline: int, trials: int,
+):
+    """Minimal in-scan learner with pieces ablated. Per-update µs each."""
+    from t48.agent import cm_forward, networks
+    from t48.agent import learner as learner_lib
+    from t48.configs import get_preset
+    from t48.replay import buffer as replay_lib
+    from t48.train import loop as loop_lib
+
+    cfg = get_preset(
+        "sss_published", env_batch=env_batch, max_updates_per_iteration=n_up
+    )
+    net = loop_lib.build_net(cfg)
+    encode = loop_lib.encoder_for(cfg.arch, cfg.board_k)
+    params = net.init(
+        jax.random.PRNGKey(0), encode(jnp.zeros((1, 16), jnp.int8))
+    )
+    optimizer = loop_lib.build_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    apply_cm = cm_forward.build_cm_forward(
+        cfg.arch, networks.dtype_of(cfg.compute_dtype)
+    )
+    train_step = loop_lib.build_train_step(cfg)
+
+    # a filled replay buffer
+    replay = replay_lib.create(cfg.replay_buffer_length, 16, env_batch)
+    key = jax.random.PRNGKey(1)
+    tr = replay_lib.CMTransition(
+        state=jax.random.randint(key, (16, env_batch), 0, 10).astype(jnp.int32),
+        action=jnp.zeros((env_batch,), jnp.int32),
+        reward=jnp.ones((env_batch,), jnp.float32),
+        next_state=jax.random.randint(key, (16, env_batch), 0, 10).astype(jnp.int32),
+        done=jnp.zeros((env_batch,), bool),
+    )
+    fill = jax.jit(
+        lambda r: jax.lax.fori_loop(
+            0, r.per_env_capacity, lambda i, rr: replay_lib.add_step(rr, tr), r
+        )
+    )
+    replay = fill(replay)
+    fixed_batch = replay_lib.sample(
+        replay, jax.random.PRNGKey(2), batch_size, cap=cfg.learner_batch_cap
+    )
+    fixed_batch = jax.tree_util.tree_map(lambda x: jax.device_get(x), fixed_batch)
+    fixed_batch = jax.tree_util.tree_map(jnp.asarray, fixed_batch)
+
+    episodes_done = jnp.int32(10_000)
+
+    def make_runner(body_kind: str):
+        """scan over n_up*scan_len update bodies carrying (params, opt)."""
+
+        def one(carry, k_s):
+            params, opt_state, last_train = carry
+            should = last_train < episodes_done
+            if body_kind == "noop":
+                # carry passthrough with a token touch: the scan/carry
+                # machinery and call overhead, no learner work at all
+                params = jax.tree_util.tree_map(
+                    lambda p: p + 0e-30 * k_s[0].astype(p.dtype), params
+                )
+                return (params, opt_state, last_train + 1), None
+            if body_kind == "sample_only":
+                b = replay_lib.sample(
+                    replay, k_s, batch_size, cap=cfg.learner_batch_cap
+                )
+                # consume the sample so it isn't DCE'd
+                s = (
+                    jnp.sum(b.state) + jnp.sum(b.reward)
+                    + jnp.sum(b.action) + jnp.sum(b.next_state)
+                )
+                params = jax.tree_util.tree_map(
+                    lambda p: p + 0e-30 * s.astype(p.dtype), params
+                )
+                return (params, opt_state, last_train + 1), None
+            b = (
+                replay_lib.sample(replay, k_s, batch_size, cap=cfg.learner_batch_cap)
+                if body_kind not in ("fixed_batch",)
+                else fixed_batch
+            )
+            if body_kind == "fwd_only":
+                q = apply_cm(params, b.state)
+                q2 = apply_cm(params, b.next_state)
+                q3 = apply_cm(params, b.next_state)
+                s = jnp.sum(q) + jnp.sum(q2) + jnp.sum(q3)
+                params = jax.tree_util.tree_map(
+                    lambda p: p + 0e-30 * s.astype(p.dtype), params
+                )
+                return (params, opt_state, last_train + 1), None
+            if body_kind == "grad_only":
+                loss, grads = jax.value_and_grad(
+                    lambda p: learner_lib.td_loss(
+                        apply_cm, p, params, lambda x: x, b,
+                        cfg.discount_factor, cfg.use_double_dqn, False, True,
+                    )
+                )(params)
+                # apply a tiny sgd so params stay live without optax
+                params = jax.tree_util.tree_map(
+                    lambda p, g: p - 0e-30 * g, params, grads
+                )
+                return (params, opt_state, last_train + 1), None
+            out = train_step(params, params, opt_state, b)
+            if body_kind == "no_keep":
+                return (out.params, out.opt_state, last_train + 1), None
+            # full: the loop's speculative select-merge
+            keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+                lambda n, o: jnp.where(should, n, o), new, old
+            )
+            return (
+                keep(out.params, params),
+                keep(out.opt_state, opt_state),
+                jnp.where(should, last_train + 1, last_train),
+            ), None
+
+        @jax.jit
+        def runner(params, opt_state, key):
+            keys = jax.random.split(key, n_up * scan_len)
+            (p, o, lt), _ = jax.lax.scan(
+                one, (params, opt_state, jnp.int32(0)), keys
+            )
+            return p, o, lt
+
+        return runner
+
+    kinds = [
+        "noop", "full", "no_keep", "fixed_batch", "grad_only", "fwd_only",
+        "sample_only",
+    ]
+    # precompute per-call keys ON DEVICE: any eager op (PRNGKey, fold_in)
+    # in the timed path costs ~ms of serialized dispatch through the
+    # tunnel and poisons absolute numbers (see sample_micro findings)
+    call_keys = [
+        jax.device_put(k)
+        for k in jax.random.split(jax.random.PRNGKey(3), pipeline)
+    ]
+    fns = {}
+    for kind in kinds:
+        runner = make_runner(kind)
+
+        def call(runner=runner):
+            p, o = params, opt_state
+            for k in call_keys:
+                p, o, lt = runner(p, o, k)
+            return p
+
+        def sync(p):
+            return float(
+                jax.device_get(
+                    jax.tree_util.tree_reduce(
+                        lambda a, x: a + jnp.sum(x.astype(jnp.float32)), p, 0.0
+                    )
+                )
+            )
+
+        fns[kind] = (call, sync)
+
+    best = interleaved_time(fns, trials)
+    n_updates = n_up * scan_len * pipeline
+    return {k: {"us_per_update": v / n_updates * 1e6} for k, v in best.items()}
+
+
+def sample_micro(env_batch: int, batch_size: int, iters: int, pipeline: int, trials: int):
+    """Bisect INSIDE replay sampling: scan bodies carrying only a small
+    f32 accumulator, so per-iteration cost isolates each piece."""
+    from t48.configs import get_preset
+    from t48.replay import buffer as replay_lib
+
+    cfg = get_preset("sss_published", env_batch=env_batch)
+    replay = replay_lib.create(cfg.replay_buffer_length, 16, env_batch)
+    key = jax.random.PRNGKey(1)
+    tr = replay_lib.CMTransition(
+        state=jax.random.randint(key, (16, env_batch), 0, 10).astype(jnp.int32),
+        action=jnp.zeros((env_batch,), jnp.int32),
+        reward=jnp.ones((env_batch,), jnp.float32),
+        next_state=jax.random.randint(key, (16, env_batch), 0, 10).astype(jnp.int32),
+        done=jnp.zeros((env_batch,), bool),
+    )
+    replay = jax.jit(
+        lambda r: jax.lax.fori_loop(
+            0, r.per_env_capacity, lambda i, rr: replay_lib.add_step(rr, tr), r
+        )
+    )(replay)
+    r, m, b = replay.rows.shape
+    s = replay_lib.sample_rows(batch_size, b)
+    fixed_idx = jax.random.randint(jax.random.PRNGKey(5), (s, b), 0, m)
+
+    def body(kind):
+        def f(carry, k_s):
+            acc = carry
+            if kind == "noop":
+                return acc + 1.0, None
+            if kind == "split_only":
+                k_idx, k_off = jax.random.split(k_s)
+                return acc + k_idx[0].astype(jnp.float32), None
+            if kind == "randint":
+                k_idx, k_off = jax.random.split(k_s)
+                idx = jax.random.randint(
+                    k_idx, (s, b), 0, jnp.maximum(replay.fill, 1)
+                )
+                return acc + jnp.sum(idx).astype(jnp.float32), None
+            if kind == "einsum_fixed_idx":
+                onehot = (
+                    fixed_idx[:, None, :] == jnp.arange(m)[None, :, None]
+                ).astype(jnp.bfloat16)
+                flat = jnp.einsum(
+                    "smb,rmb->rsb", onehot, replay.rows,
+                    preferred_element_type=jnp.float32,
+                )
+                return acc + jnp.sum(flat[0]), None
+            if kind == "take_fixed_idx":
+                # gather formulation for contrast: rows[:, idx[s,b], b]
+                flat = jnp.take_along_axis(
+                    replay.rows[:, :, :], fixed_idx[None, :, :], axis=1
+                ).astype(jnp.float32)
+                return acc + jnp.sum(flat[0]), None
+            if kind == "full_sample":
+                out = replay_lib.sample(
+                    replay, k_s, batch_size, cap=cfg.learner_batch_cap
+                )
+                return acc + jnp.sum(out.reward) + jnp.sum(out.state[0]), None
+            raise ValueError(kind)
+
+        return f
+
+    kinds = [
+        "noop", "split_only", "randint", "einsum_fixed_idx",
+        "take_fixed_idx", "full_sample",
+    ]
+    fns = {}
+    for kind in kinds:
+        @functools.partial(jax.jit, static_argnames=())
+        def runner(key, _body=body(kind)):
+            keys = jax.random.split(key, iters)
+            acc, _ = jax.lax.scan(_body, jnp.float32(0), keys)
+            return acc
+
+        def call(runner=runner):
+            accs = []
+            for i in range(pipeline):
+                accs.append(runner(jax.random.fold_in(jax.random.PRNGKey(7), i)))
+            return accs[-1]
+
+        fns[kind] = (call, lambda a: float(jax.device_get(a)))
+
+    best = interleaved_time(fns, trials)
+    n = iters * pipeline
+    return {k: {"us_per_iter": v / n * 1e6} for k, v in best.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mode", default="both",
+        choices=["inloop", "bisect", "both", "micro"],
+    )
+    ap.add_argument("--env-batch", type=int, default=4096)
+    ap.add_argument("--chunk-iters", type=int, default=32)
+    ap.add_argument("--trials", type=int, default=4)
+    args = ap.parse_args()
+    _cache()
+
+    out = {"device": str(jax.devices()[0])}
+    if args.mode in ("inloop", "both"):
+        out["in_loop"] = in_loop_marginal(
+            args.env_batch, args.chunk_iters, n_ups=[0, 1, 8, 28],
+            pipeline=4, trials=args.trials,
+        )
+    if args.mode in ("bisect", "both"):
+        out["bisect"] = synthetic_scan_bisect(
+            args.env_batch, 5000, n_up=8, scan_len=8,
+            pipeline=4, trials=args.trials,
+        )
+    if args.mode == "micro":
+        out["micro"] = sample_micro(
+            args.env_batch, 5000, iters=256, pipeline=4, trials=args.trials,
+        )
+    print(json.dumps(out, indent=1, default=str))
+
+
+if __name__ == "__main__":
+    main()

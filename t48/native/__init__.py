@@ -71,7 +71,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.t48_random_rollout.argtypes = [u64, i32, i32, p_u32, p_u8, p_i32]
     lib.t48_random_rollout.restype = ctypes.c_long
     lib.t48_format_episodes_jsonl.argtypes = [
-        p_i32, i32, ctypes.c_char_p, ctypes.c_long
+        p_i32, i32, ctypes.c_longlong, ctypes.c_char_p, ctypes.c_long
     ]
     lib.t48_format_episodes_jsonl.restype = ctypes.c_long
 
@@ -192,12 +192,14 @@ def random_rollout(seed: int, n_games: int, max_steps: int = 10_000):
     return total, scores, max_tiles, moves
 
 
-def format_episodes_jsonl(rows: np.ndarray) -> bytes:
+def format_episodes_jsonl(rows: np.ndarray, number_base: int = 0) -> bytes:
     """Format the trainer's packed int32 [N, 7] episode rows (max_tile,
     merge_score, number, reward_bits, q_bits, eps_bits, number_moves)
     into JSONL bytes — the native episode sink (~20× the Python
-    per-episode formatting; see board2048.cpp). Raises if the native
-    library is unavailable — callers fall back to the Python path."""
+    per-episode formatting; see board2048.cpp). ``number_base`` is added
+    to the episode number (int64 in C) so device-rebased counters format
+    as absolute numbers. Raises if the native library is unavailable —
+    callers fall back to the Python path."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native engine unavailable: {_load_error}")
@@ -208,6 +210,7 @@ def format_episodes_jsonl(rows: np.ndarray) -> bytes:
     written = lib.t48_format_episodes_jsonl(
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n,
+        number_base,
         buf.ctypes.data_as(ctypes.c_char_p),
         cap,
     )

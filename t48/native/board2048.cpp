@@ -295,20 +295,23 @@ static inline float bits_to_float(int32_t b) {
 }
 
 // Returns bytes written (excluding NUL), or -1 if `cap` is too small.
-// Each line ends with '\n'.
-long t48_format_episodes_jsonl(const int32_t *rows, int n, char *out,
-                               long cap) {
+// Each line ends with '\n'. `number_base` is added to the (device-rebased
+// int32) episode number so absolute numbers past 2^31 format correctly
+// (t48/train/loop.py finish_drain).
+long t48_format_episodes_jsonl(const int32_t *rows, int n,
+                               long long number_base, char *out, long cap) {
   long w = 0;
   for (int i = 0; i < n; ++i) {
     const int32_t *r = rows + 7 * i;
     if (cap - w < 256) return -1;  // worst-case line length bound
     int k = snprintf(
         out + w, (size_t)(cap - w),
-        "{\"max_tile\": %d, \"merge_score\": %d, \"number\": %d, "
+        "{\"max_tile\": %d, \"merge_score\": %d, \"number\": %lld, "
         "\"reward\": %.9g, \"q_value\": %.9g, \"epsilon\": %.9g, "
         "\"number_moves\": %d}\n",
-        r[0], r[1], r[2], (double)bits_to_float(r[3]),
-        (double)bits_to_float(r[4]), (double)bits_to_float(r[5]), r[6]);
+        r[0], r[1], (long long)r[2] + number_base,
+        (double)bits_to_float(r[3]), (double)bits_to_float(r[4]),
+        (double)bits_to_float(r[5]), r[6]);
     if (k < 0 || k >= cap - w) return -1;
     w += k;
   }

@@ -438,10 +438,13 @@ def make_train_iteration(
 
         # ---- env step (apply + spawn + auto-reset + next legality)
         if backend == "pallas":
-            seed = (
-                state.env_steps * jnp.int32(-1640531527)  # odd (Weyl) step
-                + jnp.int32((config.seed * 9973 + 12345) & 0x7FFFFFFF)
-            )
+            # Kernel PRNG seed from the per-iteration threefry key, NOT a
+            # step counter: `env_steps * weyl` wrapped int32 after 2^31
+            # env steps (~195s at sustained r03 rates) and then replayed
+            # the same seed sequence. k_env is this iteration's already-
+            # split key (unused otherwise on the Pallas path) — a fresh
+            # non-repeating 32-bit stream with zero extra ops.
+            seed = jnp.asarray(k_env)[-1].astype(jnp.int32)
             new_cm, pre_cm, new_legal_cm, reward = kernel_step(
                 cme.boards_cm, cme.legal_cm, actions, seed
             )
@@ -692,6 +695,64 @@ def make_train_chunk(config: T48Config, mesh=None, **ablation_flags) -> Callable
     return jax.jit(chunk, out_shardings=(state_sh, snap_sh))
 
 
+# --------------------------------------------------------------------------
+# Counter rebasing (overflow proofing).
+#
+# The device keeps all counters int32 (TPU-native width; int64 needs the
+# global x64 switch). At sustained round-3 rates `env_steps` crosses 2^31 in
+# ~195s and `episodes_done` in ~7h, which would corrupt loop control, the
+# schedules and the episode numbering (VERDICT r03 weak #2). The fix is
+# split:
+#   - `env_steps` has NO device consumers (the Pallas seed now derives from
+#     the per-iteration threefry key), so the trainer just accumulates
+#     wrap-aware deltas into an exact Python int (trainer.HostCounters).
+#   - `episodes_done` drives the ε schedule, the learner/warmup gates and
+#     the target-sync modulus, so it must stay small ON DEVICE: the trainer
+#     subtracts a multiple of the sync period long before 2^31
+#     (`rebase_counters`), which provably preserves every consumer —
+#     thresholds (ε horizon, warmup gates) stay saturated because the
+#     rebased value stays above `rebase_keep_min`, the sync condition
+#     compares floor-divisions whose residues shift by the same multiple of
+#     `sync_every`, and the learner deficit `episodes_done − max(last_train,
+#     gate)` is invariant because all three counters shift together.
+#     Absolute episode numbers are reconstructed at drain time from the
+#     cumulative subtracted base (`finish_drain(number_base=...)`).
+# --------------------------------------------------------------------------
+
+
+def rebase_keep_min(config: T48Config) -> int:
+    """Smallest device episode count that keeps every schedule consumer
+    in its saturated/steady regime after a rebase."""
+    return (
+        max(
+            config.no_episodes_to_reach_epsilon,
+            config.no_episodes_before_training,
+            config.no_episodes_to_fill_up_existing_model_replay_buffer,
+        )
+        + 1
+    )
+
+
+def rebase_amount(config: T48Config, episodes_done: int, last_train: int,
+                  last_sync: int) -> int:
+    """The largest sync-period multiple that keeps ALL three episode
+    counters ≥ ``rebase_keep_min`` (host-side, plain ints)."""
+    sync = max(config.no_episodes_before_updating_target, 1)
+    slack = min(episodes_done, last_train, last_sync) - rebase_keep_min(config)
+    return max(0, slack // sync * sync)
+
+
+@jax.jit
+def rebase_counters(state: TrainState, amount) -> TrainState:
+    """Shift the episode counters down by ``amount`` (see block comment)."""
+    amount = jnp.asarray(amount, jnp.int32)
+    return state.replace(
+        episodes_done=state.episodes_done - amount,
+        last_train_episodes=state.last_train_episodes - amount,
+        last_sync_episodes=state.last_sync_episodes - amount,
+    )
+
+
 def start_drain(log: EpisodeLog):
     """Phase 1 of the episode drain: read the per-env counts and ENQUEUE
     the live-prefix slice of the log ring on the device.
@@ -716,7 +777,7 @@ def start_drain(log: EpisodeLog):
     return counts, r, data_fut
 
 
-def drain_episode_log(log: EpisodeLog):
+def drain_episode_log(log: EpisodeLog, number_base: int = 0):
     """Host-side: extract this chunk's completed episodes.
 
     Returns (episodes list in global completion order, dropped).
@@ -727,7 +788,7 @@ def drain_episode_log(log: EpisodeLog):
     Pipelined callers use ``start_drain`` + ``finish_drain`` instead
     (same result; the device slice overlaps the next chunk).
     """
-    return finish_drain(start_drain(log))
+    return finish_drain(start_drain(log), number_base)
 
 
 class EpisodeList(list):
@@ -739,9 +800,16 @@ class EpisodeList(list):
     jsonl = None  # Optional[bytes]
 
 
-def finish_drain(handle):
+def finish_drain(handle, number_base: int = 0):
     """Phase 2 of the episode drain: fetch the live slice and build the
-    episode records (see ``start_drain``)."""
+    episode records (see ``start_drain``).
+
+    ``number_base`` is added to each episode's ``number``: the device
+    counts episodes in an int32 the trainer periodically REBASES to keep
+    it far from 2^31 (loop control and schedules would corrupt on wrap
+    at sustained rates — VERDICT r03 weak #2); the host carries the
+    cumulative subtracted amount and reconstructs absolute numbers here.
+    """
     import numpy as np
 
     counts, r, data_fut = handle
@@ -753,15 +821,19 @@ def finish_drain(handle):
     live = np.arange(m_live)[:, None] < counts[None, :]  # [m, B]
     rows = data[:, live].T  # [N, 7] int32
     if not rows.size:
-        return [], dropped
+        return EpisodeList(), dropped
     rows = rows[np.argsort(rows[:, _LOG_NUMBER_COL], kind="stable")]
     floats = np.ascontiguousarray(rows[:, list(_LOG_FLOAT_COLS)]).view(
         np.float32
     )
     # bulk tolist() + dict literals: ~4x faster than per-element
     # int()/float() casts (this runs for every completed episode — up to
-    # hundreds of thousands per second at large env batches)
-    int_rows = rows[:, [0, 1, 2, 6]].tolist()
+    # hundreds of thousands per second at large env batches). Episode
+    # numbers go through int64 so absolute values past 2^31 survive.
+    int_rows = rows[:, [0, 1, 6]].tolist()
+    nums = (
+        rows[:, _LOG_NUMBER_COL].astype(np.int64) + number_base
+    ).tolist()
     flt_rows = floats.tolist()
     episodes = EpisodeList(
         {
@@ -773,12 +845,12 @@ def finish_drain(handle):
             "epsilon": eps,
             "number_moves": mv,
         }
-        for (mt, ms, num, mv), (rw, qv, eps) in zip(int_rows, flt_rows)
+        for (mt, ms, mv), num, (rw, qv, eps) in zip(int_rows, nums, flt_rows)
     )
     try:  # native episode sink: pre-format the JSONL off the int rows
         from t48 import native
 
-        episodes.jsonl = native.format_episodes_jsonl(rows)
+        episodes.jsonl = native.format_episodes_jsonl(rows, number_base)
     except Exception:
         pass  # Python formatting fallback in Experiment.add_episodes
     return episodes, dropped

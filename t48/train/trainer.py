@@ -111,6 +111,58 @@ class ChunkWatchdog:
             os._exit(42)
 
 
+class HostCounters:
+    """Exact, overflow-proof run totals carried as Python ints.
+
+    The device counts episodes and env steps in int32 (loop.py block
+    comment on rebasing); at sustained rates ``env_steps`` wraps 2^31 in
+    minutes. The host accumulates WRAP-AWARE deltas of the device
+    readings — a per-chunk delta is always ≪ 2^31, so
+    ``(cur − prev) mod 2^32`` recovers the true increment across any
+    number of int32 wraps — into unbounded Python ints that feed loop
+    control, the throughput meter and the metrics.
+
+    ``number_base`` is the cumulative amount subtracted from the device
+    episode counter by rebases; drains add it back to reconstruct
+    absolute episode numbers.
+    """
+
+    # rebase long before int32 territory; any chunk gains ≪ this margin
+    REBASE_AT = 1 << 30
+
+    def __init__(self, episodes_dev: int, steps_dev: int,
+                 totals: Optional[dict] = None):
+        totals = totals or {}
+        self.episodes = int(totals.get("episodes", episodes_dev))
+        self.env_steps = int(totals.get("env_steps", steps_dev))
+        self.number_base = int(totals.get("number_base", 0))
+        self._prev_episodes = int(episodes_dev)
+        self._prev_steps = int(steps_dev)
+
+    def update(self, episodes_dev: int, steps_dev: int) -> None:
+        self.episodes += (int(episodes_dev) - self._prev_episodes) % 2**32
+        self.env_steps += (int(steps_dev) - self._prev_steps) % 2**32
+        self._prev_episodes = int(episodes_dev)
+        self._prev_steps = int(steps_dev)
+
+    def note_rebase(self, amount: int) -> None:
+        """The device episode counters were shifted down by ``amount``
+        (a sync-period multiple): keep the delta arithmetic and the
+        episode-number reconstruction consistent."""
+        self._prev_episodes -= int(amount)
+        self.number_base += int(amount)
+
+    def totals(self) -> dict:
+        """Persisted with the experiment so resume restores exact
+        absolute counts (the checkpointed device ints alone lose the
+        accumulated wraps/rebases)."""
+        return {
+            "episodes": self.episodes,
+            "env_steps": self.env_steps,
+            "number_base": self.number_base,
+        }
+
+
 class SnapshotAssembler:
     """Reassembles env 0's per-step stream into complete game histories.
 
@@ -172,6 +224,20 @@ def latest_job(root_dir: str) -> str:
             f"under {root_dir!r}"
         )
     return max(candidates)[1]
+
+
+def _load_counter_totals(job_dir: str) -> Optional[dict]:
+    """The absolute run totals saved alongside the checkpoint
+    (``HostCounters.totals``), readable by every process off the shared
+    job dir. None for jobs saved before the overflow-proof counters."""
+    import json
+
+    path = os.path.join(job_dir, "text", "hyperparams.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get("counter_totals")
+    except (OSError, ValueError):
+        return None
 
 
 def load_resume_state(job_dir: str, template):
@@ -334,11 +400,19 @@ def train(
     )
 
     target_episodes = max_episodes if max_episodes is not None else config.no_episodes
-    last_save = int(state.episodes_done)
+    # overflow-proof totals: device ints are int32 and may have been
+    # rebased/wrapped; resumes restore the exact absolute counts saved
+    # alongside the checkpoint (readable by every process off the shared
+    # job dir)
+    persisted_totals = _load_counter_totals(job_dir) if resume else None
+    counters = HostCounters(
+        int(state.episodes_done), int(state.env_steps), persisted_totals
+    )
+    last_save = counters.episodes
     last_save_t = time.monotonic()
-    last_print = int(state.episodes_done)
+    last_print = counters.episodes
     meter = ThroughputMeter()
-    meter.update(int(state.env_steps), int(state.episodes_done))
+    meter.update(counters.env_steps, counters.episodes)
 
     checkpointer = AsyncCheckpointer()
 
@@ -355,6 +429,7 @@ def train(
 
             ckpt_state = fully_replicated(state, mesh)
         if coordinator:
+            experiment.add_hyperparameter({"counter_totals": counters.totals()})
             experiment.save(light=light)
             checkpointer.save(experiment.checkpoint_path, ckpt_state)
 
@@ -394,9 +469,21 @@ def train(
         # in-flight chunk is simply discarded (its state is never
         # observed), so the returned/saved state is the last one whose
         # metrics were drained.
-        pending = chunk(state) if int(state.episodes_done) < target_episodes else None
+        pending = chunk(state) if counters.episodes < target_episodes else None
+        rebase_amt = 0
         while pending is not None:
             cur_state, snapshot = pending  # chunk k's output (in flight)
+            # chunk k's log was numbered with the PRE-rebase counters —
+            # capture its base before applying a pending rebase
+            drain_base = counters.number_base
+            if rebase_amt:
+                # shift the device episode counters away from 2^31 before
+                # dispatching the next chunk (loop.py rebasing note); all
+                # processes compute the same amount from the replicated
+                # counters, so the collective program order stays aligned
+                cur_state = loop_lib.rebase_counters(cur_state, rebase_amt)
+                counters.note_rebase(rebase_amt)
+                rebase_amt = 0
             if watchdog is not None:
                 watchdog.arm(state)  # state = last COMPLETED chunk
             # drain phase 1 first: the live-prefix log slice is a device
@@ -410,7 +497,9 @@ def train(
             episodes = []
             if coordinator:
                 # transfers + record building overlap chunk k+1
-                episodes, dropped = loop_lib.finish_drain(drain_handle)
+                episodes, dropped = loop_lib.finish_drain(
+                    drain_handle, drain_base
+                )
                 # impossible by construction: the per-env slots are sized
                 # to the provable per-chunk bound (loop.effective_log_size)
                 assert dropped == 0, f"episode log overflow: dropped {dropped}"
@@ -421,13 +510,24 @@ def train(
                 watchdog.disarm()  # the drain proved chunk k completed
             # one batched transfer for both loop-control counters (two
             # separate int() casts cost two ~25ms round trips on a
-            # remote-attached backend)
-            done_now, steps_now = (
+            # remote-attached backend); the int32 device readings fold
+            # into the exact host totals wrap-aware
+            done_dev, steps_dev = (
                 int(x)
                 for x in jax.device_get(
                     (state.episodes_done, state.env_steps)
                 )
             )
+            counters.update(done_dev, steps_dev)
+            done_now, steps_now = counters.episodes, counters.env_steps
+            if done_dev > HostCounters.REBASE_AT:
+                lt, ls = (
+                    int(x)
+                    for x in jax.device_get(
+                        (state.last_train_episodes, state.last_sync_episodes)
+                    )
+                )
+                rebase_amt = loop_lib.rebase_amount(config, done_dev, lt, ls)
             if meter.total_steps == 0 and steps_now:
                 # first chunk done: drop compile time from the rate window
                 meter.reset_baseline()
