@@ -101,7 +101,7 @@ def cmd_evaluate(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from t48.agent.networks import build_network
+    from t48.agent.networks import build_network, dtype_of
     from t48.baselines.players import Player
     from t48.configs import T48Config
     from t48.exp.checkpoint import restore_subtree
@@ -112,7 +112,11 @@ def cmd_evaluate(args) -> int:
     config_path = os.path.join(experiment.folder, "text/config.json")
     with open(config_path) as f:
         config = T48Config.from_json(f.read())
-    net = build_network(config.arch)
+    # evaluate under the job's TRAINING compute dtype by default: a
+    # bf16-compute run's greedy actor saw bf16 Q-values, and f32 eval can
+    # flip argmaxes near ties (VERDICT r03 weak #5). --dtype overrides.
+    dtype = dtype_of(args.dtype or config.compute_dtype)
+    net = build_network(config.arch, dtype)
     encode = encoder_for(config.arch, config.board_k)
     # params-only load: init a template of the right structure and restore
     # the checkpoint's `.params` subtree by name — no replay buffer / env /
@@ -329,6 +333,9 @@ def main(argv=None) -> int:
     p.add_argument("--games", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--encoding", choices=["log", "normalized"], default="log")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
+                   help="network compute dtype (default: the job's "
+                        "training compute_dtype)")
     p.add_argument("--histories", action="store_true",
                    help="record and persist full game histories")
     p.set_defaults(fn=cmd_evaluate)

@@ -217,6 +217,18 @@ def _legal_line(line):
     move changes the line" (board.py:128-135 semantics) without running
     the merge network — pinned against the merge kernel exhaustively in
     tests/test_engine.py.
+
+    Why the equivalence holds for ALL exponent values, not just the
+    tested range: (⇐) a zero in front of a non-zero means compression
+    moves that tile, changing the line; with no such hole the non-zeros
+    form a dense front prefix, where an adjacent equal pair merges and
+    changes its cell. (⇒) with neither condition the line is a dense
+    prefix of pairwise-unequal values — compress and merge are both
+    identity. Both this scan and the merge kernel's changed-ness depend
+    only on the line's zero pattern and adjacent-equality pattern, never
+    on tile magnitudes; every such pattern on k cells is realized with
+    exponents {0..k}, so the capped exhaustive enumeration in the tests
+    covers every equivalence class of lines.
     """
     k = len(line)
     nz = [c != 0 for c in line]

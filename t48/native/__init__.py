@@ -118,6 +118,19 @@ class FastBoard:
         # shares the RNG stream (a single search consumes one stream)
         return FastBoard(_raw=self.raw, _rng=self._rng, _score=self._mergescore)
 
+    @classmethod
+    def from_exponents(cls, exponents, seed: int = 1) -> "FastBoard":
+        """Board from a 4x4 (or flat 16) array of tile exponents
+        (0 = empty, n = 2^n tile) — test/fixture constructor."""
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native engine unavailable: {_load_error}")
+        flat = np.ascontiguousarray(
+            np.asarray(exponents, np.uint8).reshape(16)
+        )
+        raw = lib.t48_pack(flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return cls(seed=seed, _raw=raw)
+
     def exponents(self) -> np.ndarray:
         buf = (ctypes.c_uint8 * 16)()
         self._lib.t48_unpack(self.raw, buf)

@@ -105,6 +105,15 @@ def _legal_line(line):
     slide); symmetrically for the back. This is exactly "applying the
     move changes the line" (board.py:128-135 semantics) without running
     the merge network — verified against ``_peek`` in tests/test_pallas.py.
+
+    The equivalence is structural, valid for all exponent values: a hole
+    in front of a tile makes compression move it; with no hole the
+    non-zeros are a dense prefix where an adjacent equal pair merges;
+    with neither, compress and merge are identity. Both sides depend only
+    on the zero/adjacent-equality pattern (never magnitudes), and every
+    such pattern on 4 cells is realized within the tested exponent range,
+    so the capped enumeration covers every equivalence class
+    (t48/env/engine._legal_line has the full argument).
     """
     nz = [c != 0 for c in line]
     z = [jnp.logical_not(n) for n in nz]

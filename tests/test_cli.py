@@ -80,6 +80,37 @@ class TestTrainAnalyzePlayback:
         assert len(games) == 16
         assert len(games[0][0]) == 4  # (state, action, reward, merge_score)
 
+    def test_evaluate_uses_training_compute_dtype(self, tmp_path, capsys,
+                                                  monkeypatch):
+        """A bf16-compute job evaluates under bf16 by default (the greedy
+        actor the training run actually had — VERDICT r03 weak #5);
+        --dtype overrides."""
+        import jax.numpy as jnp
+
+        from t48.agent import networks
+
+        rc = main([
+            "train", "--preset", "dense", "--job", "cli_dtype",
+            "--root", str(tmp_path), "--compute-dtype", "bfloat16",
+            "--env-batch", "8", "--episodes", "5", "--batch-size", "32",
+            "--chunk-iters", "16",
+        ])
+        assert rc == 0
+        seen = []
+        real = networks.build_network
+        monkeypatch.setattr(
+            networks, "build_network",
+            lambda arch, dtype=jnp.float32: (seen.append(dtype),
+                                             real(arch, dtype))[1],
+        )
+        capsys.readouterr()
+        assert main(["evaluate", "--job", "cli_dtype", "--root",
+                     str(tmp_path), "--games", "4"]) == 0
+        assert main(["evaluate", "--job", "cli_dtype", "--root",
+                     str(tmp_path), "--games", "4",
+                     "--dtype", "float32"]) == 0
+        assert seen == [jnp.bfloat16, jnp.float32]
+
     def test_baselines_command(self, tmp_path, capsys):
         rc = main(["baselines", "--games", "8", "--root", str(tmp_path)])
         assert rc == 0
