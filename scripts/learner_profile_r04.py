@@ -360,11 +360,133 @@ def sample_micro(env_batch: int, batch_size: int, iters: int, pipeline: int, tri
     return {k: {"us_per_iter": v / n * 1e6} for k, v in best.items()}
 
 
+def candidate_configs(chunk_iters: int, pipeline: int, trials: int):
+    """Full-cadence flagship candidates: in-chunk env-steps/s, interleaved."""
+    from t48.configs import get_preset
+    from t48.train import loop as loop_lib
+
+    cases = [
+        ("b4096_u0", 4096, 0),
+        ("b4096_u29", 4096, 29),
+        ("b5120_u0", 5120, 0),
+        ("b5120_u36", 5120, 36),
+        ("b5120_u40", 5120, 40),
+    ]
+    fns, states = {}, {}
+    for name, env_batch, n_up in cases:
+        cfg = get_preset(
+            "sss_published",
+            env_batch=env_batch,
+            chunk_iters=chunk_iters,
+            max_updates_per_iteration=max(n_up, 1),
+            no_episodes_before_training=0,
+            use_astar_seed=False,
+            seed=0,
+        )
+        state = loop_lib.create_train_state(cfg)
+        chunk = (
+            loop_lib.make_train_chunk(cfg)
+            if n_up > 0
+            else loop_lib.make_train_chunk(cfg, with_learner=False)
+        )
+
+        def call(chunk=chunk, name=name):
+            s = states[name]
+            for _ in range(pipeline):
+                s = chunk(s)[0]
+            states[name] = s
+            return s
+
+        states[name] = state
+        fns[name] = (
+            call,
+            lambda s: float(jax.device_get(s.env.merge_scores.sum())),
+        )
+
+    best = interleaved_time(fns, trials)
+    out = {}
+    for (name, env_batch, n_up), elapsed in zip(cases, best.values()):
+        per_chunk = best[name] / pipeline
+        out[name] = {
+            "s_per_chunk": round(per_chunk, 5),
+            "env_steps_per_s": round(env_batch * chunk_iters / per_chunk, 1),
+            "realized_updates": int(states[name].train_steps),
+            "episodes": int(states[name].episodes_done),
+        }
+    return out
+
+
+def flag_variants(chunk_iters: int, pipeline: int, trials: int):
+    """Full-cadence learner flag re-measurement in the CELL-MAJOR loop
+    (the r03 verdicts on fused-apply/flat-adam predate the CM rework)."""
+    from t48.configs import get_preset
+    from t48.train import loop as loop_lib
+
+    cases = [
+        ("b4096_u40_scan", dict(env_batch=4096, max_updates_per_iteration=40,
+                                learner_update_mode="scan")),
+        ("b4096_u40_while", dict(env_batch=4096, max_updates_per_iteration=40,
+                                 learner_update_mode="while")),
+        ("b4096_u40_while_fused", dict(env_batch=4096,
+                                       max_updates_per_iteration=40,
+                                       learner_update_mode="while",
+                                       learner_fused_apply=True)),
+        ("b4096_u40_while_flat", dict(env_batch=4096,
+                                      max_updates_per_iteration=40,
+                                      learner_update_mode="while",
+                                      learner_flat_adam=True)),
+        ("b5120_u40_scan", dict(env_batch=5120, max_updates_per_iteration=40,
+                                learner_update_mode="scan")),
+        ("b5120_u40_while", dict(env_batch=5120, max_updates_per_iteration=40,
+                                 learner_update_mode="while")),
+    ]
+    fns, states = {}, {}
+    for name, overrides in cases:
+        cfg = get_preset(
+            "sss_published",
+            chunk_iters=chunk_iters,
+            no_episodes_before_training=0,
+            use_astar_seed=False,
+            seed=0,
+            **overrides,
+        )
+        state = loop_lib.create_train_state(cfg)
+        chunk = loop_lib.make_train_chunk(cfg)
+
+        def call(chunk=chunk, name=name):
+            s = states[name]
+            for _ in range(pipeline):
+                s = chunk(s)[0]
+            states[name] = s
+            return s
+
+        states[name] = state
+        fns[name] = (
+            call,
+            lambda s: float(jax.device_get(s.env.merge_scores.sum())),
+        )
+
+    best = interleaved_time(fns, trials)
+    out = {}
+    for name, overrides in cases:
+        per_chunk = best[name] / pipeline
+        env_batch = overrides["env_batch"]
+        out[name] = {
+            "s_per_chunk": round(per_chunk, 5),
+            "env_steps_per_s": round(env_batch * chunk_iters / per_chunk, 1),
+            "updates_per_episode": round(
+                int(states[name].train_steps)
+                / max(int(states[name].episodes_done), 1), 3
+            ),
+        }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode", default="both",
-        choices=["inloop", "bisect", "both", "micro"],
+        choices=["inloop", "bisect", "both", "micro", "configs", "flags"],
     )
     ap.add_argument("--env-batch", type=int, default=4096)
     ap.add_argument("--chunk-iters", type=int, default=32)
@@ -386,6 +508,14 @@ def main():
     if args.mode == "micro":
         out["micro"] = sample_micro(
             args.env_batch, 5000, iters=256, pipeline=4, trials=args.trials,
+        )
+    if args.mode == "configs":
+        out["configs"] = candidate_configs(
+            args.chunk_iters, pipeline=4, trials=args.trials,
+        )
+    if args.mode == "flags":
+        out["flags"] = flag_variants(
+            args.chunk_iters, pipeline=2, trials=args.trials,
         )
     print(json.dumps(out, indent=1, default=str))
 

@@ -84,6 +84,16 @@ class T48Config:
     # reference's one-update-per-episode (dqn_lib.py:213-226) whenever this
     # is >= the mean episodes completed per iteration (~env_batch/144).
     max_updates_per_iteration: int = 1
+    # how the per-iteration updates execute (t48/train/loop.py):
+    # 'while' (default): a lax.while_loop running EXACTLY the owed number
+    # of updates (up to the max) — no speculative waste, no select-merge.
+    # At full cadence with a worst-case max (u40 at env_batch=4096, mean
+    # owed ~28/iter) the while form measured 1.39M vs the scan form's
+    # 1.08M env-steps/s in-chunk at 1.0 updates/episode
+    # (scripts/learner_profile_r04.py --mode flags). 'scan': the r03
+    # speculative select-merge scan (always runs max_updates; kept for
+    # comparison and for the exact r03 RNG stream).
+    learner_update_mode: str = "while"  # 'while' | 'scan'
     # in-loop env step backend: 'auto' picks the fused Pallas kernel
     # (t48/ops/pallas_step.py) on TPU when shapes allow, else the XLA
     # engine. The Pallas path uses the TPU-native PRNG — a different (but

@@ -528,7 +528,58 @@ def make_train_iteration(
         # cadence is step-for-step the reference's; at env_batch=B setting
         # max_updates ≥ B/mean_episode_len recovers 1 update/episode
         # exactly (unconsumed episodes carry over between iterations).
-        if with_learner:
+        if with_learner and config.learner_update_mode == "while":
+            # EXACTLY the owed number of updates (≤ max) via lax.while_loop:
+            # no speculative flops, no select-merge — at full cadence the
+            # owed count per iteration fluctuates well below the worst-case
+            # max_updates the scan form must always pay (measured ~1.5x
+            # end-to-end at b4096 u40, scripts/learner_profile_r04.py).
+            # The per-update RNG stream differs from scan mode (keys split
+            # sequentially from the carried key rather than pre-split), a
+            # documented distributional-equivalence divergence.
+            gate = jnp.int32(config.no_episodes_before_training)
+            n_up = max(1, config.max_updates_per_iteration)
+
+            def upd_cond(c):
+                _params, _opt, last_train, _ts, _loss, _key, done_n = c
+                owed = jnp.maximum(last_train, gate) < episodes_done
+                return owed & (replay.fill > 0) & (done_n < n_up)
+
+            def upd_body(c):
+                params, opt_state, last_train, train_steps, _loss, key, done_n = c
+                key, k_s = jax.random.split(key)
+                sampled = replay_lib.sample(
+                    replay, k_s, config.batch_size,
+                    cap=config.learner_batch_cap,
+                )
+                out = train_step(
+                    params, state.target_params, opt_state, sampled
+                )
+                return (
+                    out.params,
+                    out.opt_state,
+                    jnp.maximum(last_train, gate) + 1,
+                    train_steps + 1,
+                    out.loss,
+                    key,
+                    done_n + 1,
+                )
+
+            carry = jax.lax.while_loop(
+                upd_cond,
+                upd_body,
+                (
+                    state.params,
+                    state.opt_state,
+                    state.last_train_episodes,
+                    state.train_steps,
+                    state.last_loss,
+                    k_sample,
+                    jnp.int32(0),
+                ),
+            )
+            params, opt_state, last_train_episodes, train_steps, loss = carry[:5]
+        elif with_learner:
             gate = jnp.int32(config.no_episodes_before_training)
             n_up = max(1, config.max_updates_per_iteration)
 
@@ -598,8 +649,13 @@ def make_train_iteration(
             else:
                 carry = run_updates(carry0, update_keys)
             params, opt_state, last_train_episodes, train_steps, loss = carry
-            target_params = state.target_params
+        else:
+            params, opt_state = state.params, state.opt_state
+            loss = state.last_loss
+            train_steps = state.train_steps
+            last_train_episodes = state.last_train_episodes
 
+        if with_learner:
             # ---- hard target sync on crossing each sync-period multiple
             sync_every = config.no_episodes_before_updating_target
             should_sync = (episodes_done // sync_every) > (
@@ -608,18 +664,13 @@ def make_train_iteration(
             target_params = jax.tree_util.tree_map(
                 lambda p, t: jnp.where(should_sync, p, t),
                 params,
-                target_params,
+                state.target_params,
             )
             last_sync_episodes = jnp.where(
                 should_sync, episodes_done, state.last_sync_episodes
             )
         else:
-            params, target_params, opt_state = (
-                state.params, state.target_params, state.opt_state
-            )
-            loss = state.last_loss
-            train_steps = state.train_steps
-            last_train_episodes = state.last_train_episodes
+            target_params = state.target_params
             last_sync_episodes = state.last_sync_episodes
 
         new_state = TrainState(
