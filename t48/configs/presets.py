@@ -59,6 +59,12 @@ class T48Config:
     # longer than this, assume a peer process died mid-collective — dump
     # this process's shards (collective-free) and exit. 0 disables.
     watchdog_timeout_s: float = 0.0
+    # per-episode metric retention: 'full' keeps every episode dict in
+    # memory and pickles them at save (the reference's episodes.p
+    # artifact, experiments.py:128-145); 'stream' appends the JSONL only
+    # — O(1) memory for soak/production runs that complete tens of
+    # millions of episodes (episodes.p then holds only the header list).
+    episode_retention: str = "full"  # 'full' | 'stream'
     # minimum seconds between periodic autosaves. The reference saves
     # every 1000 episodes (dqn_lib.py:229-231) — at ~250k episodes/s
     # that fires every chunk and the (collective) state gather + host

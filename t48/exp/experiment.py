@@ -46,7 +46,11 @@ class Experiment:
         folder_name: Optional[str] = None,
         resumed: bool = False,
         config=None,
+        episode_retention: str = "full",
     ):
+        # 'stream': episodes go to the incremental JSONL only (O(1)
+        # memory; soak/production runs — configs.episode_retention)
+        self.episode_retention = episode_retention
         os.makedirs(root_dir, exist_ok=True)
         if resumed:
             assert folder_name, "resume requires a folder name"
@@ -137,7 +141,8 @@ class Experiment:
         thousands per second at large env batches). Falls back to
         ``json.dumps`` for episodes that don't match the standard
         7-key schema."""
-        self.episodes.extend(episodes)
+        if self.episode_retention != "stream":
+            self.episodes.extend(episodes)
         jsonl = getattr(episodes, "jsonl", None)
         if jsonl is not None:
             # native episode sink (t48/native): pre-formatted bytes —

@@ -303,6 +303,7 @@ def train(
     max_episodes: Optional[int] = None,
     verbose: bool = True,
     data_parallel: Optional[int] = None,
+    on_chunk=None,
 ):
     """Run (or resume) a full training job. Returns (state, experiment).
 
@@ -312,6 +313,10 @@ def train(
     artifact writes are then gated to process 0 (assumes the job dir is
     on a filesystem process 0 can write and — for resume — all processes
     can read, the standard TPU-pod arrangement).
+
+    ``on_chunk``: optional callback ``(counters, meter) -> None`` invoked
+    after every chunk's metrics land — periodic observability for soak
+    runs / external monitors without touching the device path.
     """
     coordinator = jax.process_index() == 0
     multiprocess = jax.process_count() > 1
@@ -331,7 +336,8 @@ def train(
         )
     if coordinator:
         experiment = Experiment(
-            root_dir=root_dir, folder_name=job_name, resumed=resume, config=config
+            root_dir=root_dir, folder_name=job_name, resumed=resume,
+            config=config, episode_retention=config.episode_retention,
         )
         experiment.add_hyperparameter(config.hyperparams_dict())
     else:
@@ -544,6 +550,8 @@ def train(
                 assert_env_invariants(state.env.boards, state.env.merge_scores)
 
             meter.update(steps_now, done_now)
+            if on_chunk is not None:
+                on_chunk(counters, meter)
             if verbose and episodes and done_now - last_print >= 10:
                 ep = episodes[-1]
                 # reference console line (dqn_lib.py:210-212)

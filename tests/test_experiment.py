@@ -39,6 +39,64 @@ def tiny_config(**kw):
     return get_preset("dense", **base)
 
 
+class TestStreamRetentionAndOnChunk:
+    def test_stream_retention_writes_jsonl_only(self, tmp_path):
+        """episode_retention='stream' (soak/production): every episode
+        lands in the incremental JSONL, none are held in memory, and the
+        final episodes.p stays empty — O(1) memory at any run length."""
+        cfg = tiny_config(episode_retention="stream")
+        state, exp = train(
+            cfg, root_dir=str(tmp_path), job_name="streamed", verbose=False
+        )
+        assert exp.episodes == []
+        with open(tmp_path / "streamed/binary/episodes.p", "rb") as f:
+            assert pickle.load(f) == []
+        with open(tmp_path / "streamed/binary/episodes.jsonl") as f:
+            lines = [json.loads(ln) for ln in f]
+        totals = exp.hyperparameters["counter_totals"]
+        assert len(lines) == totals["episodes"]
+        nums = [e["number"] for e in lines]
+        assert nums == sorted(nums)
+
+    def test_on_chunk_callback_sees_running_totals(self, tmp_path):
+        seen = []
+        cfg = tiny_config()
+        train(
+            cfg, root_dir=str(tmp_path), job_name="cb", verbose=False,
+            on_chunk=lambda counters, meter: seen.append(
+                (counters.episodes, counters.env_steps)
+            ),
+        )
+        assert len(seen) >= 2
+        assert seen == sorted(seen)  # totals are monotone
+        assert seen[-1][1] % (cfg.env_batch * cfg.chunk_iters) == 0
+
+    def test_on_chunk_interrupt_saves_cleanly(self, tmp_path):
+        """Raising KeyboardInterrupt from on_chunk (the soak's wall-clock
+        stop) leaves a resumable job, like the reference's interrupt
+        handling (dqn_lib.py:235-244)."""
+        def stop(counters, meter):
+            if counters.episodes > 0:
+                raise KeyboardInterrupt("stop")
+
+        cfg = tiny_config(no_episodes=100_000)
+        state, exp = train(
+            cfg, root_dir=str(tmp_path), job_name="stopme", verbose=False,
+            on_chunk=stop,
+        )
+        assert os.path.exists(tmp_path / "stopme/binary/checkpoint.npz")
+        totals = exp.hyperparameters["counter_totals"]
+        assert 0 < totals["episodes"] < 100_000
+        # and it resumes
+        state2, exp2 = train(
+            cfg, root_dir=str(tmp_path), job_name="stopme", resume=True,
+            max_episodes=totals["episodes"] + 20, verbose=False,
+        )
+        assert exp2.hyperparameters["counter_totals"]["episodes"] >= (
+            totals["episodes"] + 20
+        )
+
+
 class TestExperimentFolder:
     def test_layout_matches_reference(self, tmp_path):
         """Job dir mirrors experiments.py:67-73 text/ + binary/ layout."""
