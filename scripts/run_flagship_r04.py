@@ -74,7 +74,9 @@ def run_staged(
     wall_warm = time.time() - t0
     warm_episodes = _totals(job_dir)["episodes"]
     warm_steps = _totals(job_dir)["env_steps"]
-    warm_updates_done = int(state_a.train_steps)
+    warm_updates_done = _totals(job_dir).get(
+        "train_steps", int(state_a.train_steps)
+    )
 
     widen_job_checkpoint(job_dir, cfg_a, cfg_b)
 
@@ -88,7 +90,9 @@ def run_staged(
     with open(os.path.join(job_dir, "text/hyperparams.json")) as f:
         hp = json.load(f)
     report = render_report(exp_b.folder)
-    phase2_updates = int(state_b.train_steps) - warm_updates_done
+    phase2_updates = totals.get(
+        "train_steps", int(state_b.train_steps)
+    ) - warm_updates_done
     phase2_episodes = totals["episodes"] - warm_episodes
     summary = {
         "job": name,
@@ -111,7 +115,7 @@ def run_staged(
         },
         "episodes": totals["episodes"],
         "env_steps": totals["env_steps"],
-        "train_steps": int(state_b.train_steps),
+        "train_steps": totals.get("train_steps", int(state_b.train_steps)),
         "phase2_updates_per_episode": round(
             phase2_updates / max(phase2_episodes, 1), 3
         ),

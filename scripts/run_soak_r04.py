@@ -99,7 +99,8 @@ def main():
             totals["env_steps"] % 2**32 == int(final_state.env_steps) % 2**32
         ),
         "updates_per_episode": round(
-            int(final_state.train_steps) / max(totals["episodes"], 1), 4
+            totals.get("train_steps", int(final_state.train_steps))
+            / max(totals["episodes"], 1), 4
         ),
         "rate_last_quartile_over_first": round(
             mean(last_q) / max(mean(first_q), 1e-9), 3
@@ -122,7 +123,7 @@ def main():
         "config": "sss_published, env_batch=4096, max_updates=40 "
                   "(full cadence, while-mode learner), retention=stream",
         "totals": totals,
-        "train_steps": int(final_state.train_steps),
+        "train_steps": totals.get("train_steps", int(final_state.train_steps)),
         "throughput_final": hp.get("throughput"),
         "checks": checks,
         "samples": samples,

@@ -90,8 +90,15 @@ def cmd_train(args) -> int:
         max_episodes=args.max_episodes,
         data_parallel=args.data_parallel,
     )
-    print(f"Training complete: {int(state.episodes_done)} episodes, "
-          f"{int(state.train_steps)} learner updates → {experiment.folder}")
+    # overflow-proof absolute totals (the device ints are int32 and may
+    # have been rebased/wrapped on long runs)
+    totals = getattr(experiment, "hyperparameters", {}).get(
+        "counter_totals", {}
+    )
+    episodes = totals.get("episodes", int(state.episodes_done))
+    updates = totals.get("train_steps", int(state.train_steps))
+    print(f"Training complete: {episodes} episodes, "
+          f"{updates} learner updates → {experiment.folder}")
     return 0
 
 

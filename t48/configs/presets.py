@@ -106,6 +106,23 @@ class T48Config:
     # deterministic) random stream than the XLA path's threefry.
     env_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
+    def __post_init__(self):
+        # enum-like knobs fail loudly on typos (a misspelled value would
+        # otherwise silently select the other behavior)
+        _check = {
+            "learner_update_mode": ("while", "scan"),
+            "episode_retention": ("full", "stream"),
+            "env_backend": ("auto", "xla", "pallas"),
+            "policy_compat": ("masked", "reference"),
+            "compute_dtype": ("float32", "bfloat16"),
+        }
+        for field, allowed in _check.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f"{field}={v!r} not in {allowed}"
+                )
+
     def hyperparams_dict(self) -> dict:
         """Reference-comparable hyperparams mapping (experiments.py:104-110
         consumers expect these keys)."""

@@ -784,23 +784,50 @@ def rebase_keep_min(config: T48Config) -> int:
     )
 
 
+# Largest learner-deficit / sync-lag the rebase preserves exactly. A
+# backlog beyond this is unconsumable under any finite max_updates
+# (every iteration consumes ≤ max_updates of it while ~env_batch/144 new
+# episodes accrue), so clamping it to a million keeps the overflow
+# protection effective for under-cadenced or learner-free configs whose
+# lag would otherwise grow without bound and pin the rebase slack at 0,
+# letting episodes_done wrap after all (r04 review finding).
+REBASE_LAG_CAP = 1 << 20
+
+
 def rebase_amount(config: T48Config, episodes_done: int, last_train: int,
                   last_sync: int) -> int:
-    """The largest sync-period multiple that keeps ALL three episode
-    counters ≥ ``rebase_keep_min`` (host-side, plain ints)."""
+    """The largest sync-period multiple that keeps all three episode
+    counters ≥ ``rebase_keep_min`` (host-side, plain ints) — after
+    clamping unbounded lags to ``REBASE_LAG_CAP`` (the device applies
+    the identical clamp in ``rebase_counters``)."""
     sync = max(config.no_episodes_before_updating_target, 1)
+    last_train = max(last_train, episodes_done - REBASE_LAG_CAP)
+    last_sync = max(last_sync, episodes_done - REBASE_LAG_CAP)
     slack = min(episodes_done, last_train, last_sync) - rebase_keep_min(config)
     return max(0, slack // sync * sync)
 
 
 @jax.jit
 def rebase_counters(state: TrainState, amount) -> TrainState:
-    """Shift the episode counters down by ``amount`` (see block comment)."""
+    """Shift the episode counters down by ``amount`` (see block comment).
+
+    Lags beyond ``REBASE_LAG_CAP`` are clamped first (matching
+    ``rebase_amount``): for the learner deficit this forfeits owed
+    updates beyond a million — unconsumable backlog by construction;
+    for the sync counter it leaves at most one pending sync (the clamp
+    keeps the ``episodes_done − last_sync ≥ sync_every`` trigger
+    condition satisfied whenever it was).
+    """
     amount = jnp.asarray(amount, jnp.int32)
+    cap = jnp.int32(REBASE_LAG_CAP)
     return state.replace(
         episodes_done=state.episodes_done - amount,
-        last_train_episodes=state.last_train_episodes - amount,
-        last_sync_episodes=state.last_sync_episodes - amount,
+        last_train_episodes=jnp.maximum(
+            state.last_train_episodes, state.episodes_done - cap
+        ) - amount,
+        last_sync_episodes=jnp.maximum(
+            state.last_sync_episodes, state.episodes_done - cap
+        ) - amount,
     )
 
 
@@ -851,7 +878,7 @@ class EpisodeList(list):
     jsonl = None  # Optional[bytes]
 
 
-def finish_drain(handle, number_base: int = 0):
+def finish_drain(handle, number_base: int = 0, build_dicts: bool = True):
     """Phase 2 of the episode drain: fetch the live slice and build the
     episode records (see ``start_drain``).
 
@@ -860,6 +887,13 @@ def finish_drain(handle, number_base: int = 0):
     it far from 2^31 (loop control and schedules would corrupt on wrap
     at sustained rates — VERDICT r03 weak #2); the host carries the
     cumulative subtracted amount and reconstructs absolute numbers here.
+
+    ``build_dicts=False`` (stream-retention runs): when the native JSONL
+    sink is available, only the LAST episode's dict is built (the
+    console line needs it) — the O(episodes) Python dict construction is
+    exactly the host work stream mode exists to avoid. Falls back to
+    full dicts when the native formatter is missing (the Python JSONL
+    path needs them).
     """
     import numpy as np
 
@@ -874,6 +908,15 @@ def finish_drain(handle, number_base: int = 0):
     if not rows.size:
         return EpisodeList(), dropped
     rows = rows[np.argsort(rows[:, _LOG_NUMBER_COL], kind="stable")]
+    jsonl = None
+    try:  # native episode sink: pre-format the JSONL off the int rows
+        from t48 import native
+
+        jsonl = native.format_episodes_jsonl(rows, number_base)
+    except Exception:
+        pass  # Python formatting fallback in Experiment.add_episodes
+    if not build_dicts and jsonl is not None:
+        rows = rows[-1:]  # console line only
     floats = np.ascontiguousarray(rows[:, list(_LOG_FLOAT_COLS)]).view(
         np.float32
     )
@@ -898,10 +941,5 @@ def finish_drain(handle, number_base: int = 0):
         }
         for (mt, ms, mv), num, (rw, qv, eps) in zip(int_rows, nums, flt_rows)
     )
-    try:  # native episode sink: pre-format the JSONL off the int rows
-        from t48 import native
-
-        episodes.jsonl = native.format_episodes_jsonl(rows, number_base)
-    except Exception:
-        pass  # Python formatting fallback in Experiment.add_episodes
+    episodes.jsonl = jsonl
     return episodes, dropped

@@ -130,20 +130,25 @@ class HostCounters:
     # rebase long before int32 territory; any chunk gains ≪ this margin
     REBASE_AT = 1 << 30
 
-    def __init__(self, episodes_dev: int, steps_dev: int,
+    def __init__(self, episodes_dev: int, steps_dev: int, train_dev: int,
                  totals: Optional[dict] = None):
         totals = totals or {}
         self.episodes = int(totals.get("episodes", episodes_dev))
         self.env_steps = int(totals.get("env_steps", steps_dev))
+        self.train_steps = int(totals.get("train_steps", train_dev))
         self.number_base = int(totals.get("number_base", 0))
         self._prev_episodes = int(episodes_dev)
         self._prev_steps = int(steps_dev)
+        self._prev_train = int(train_dev)
 
-    def update(self, episodes_dev: int, steps_dev: int) -> None:
+    def update(self, episodes_dev: int, steps_dev: int,
+               train_dev: int) -> None:
         self.episodes += (int(episodes_dev) - self._prev_episodes) % 2**32
         self.env_steps += (int(steps_dev) - self._prev_steps) % 2**32
+        self.train_steps += (int(train_dev) - self._prev_train) % 2**32
         self._prev_episodes = int(episodes_dev)
         self._prev_steps = int(steps_dev)
+        self._prev_train = int(train_dev)
 
     def note_rebase(self, amount: int) -> None:
         """The device episode counters were shifted down by ``amount``
@@ -159,6 +164,7 @@ class HostCounters:
         return {
             "episodes": self.episodes,
             "env_steps": self.env_steps,
+            "train_steps": self.train_steps,
             "number_base": self.number_base,
         }
 
@@ -412,7 +418,8 @@ def train(
     # job dir)
     persisted_totals = _load_counter_totals(job_dir) if resume else None
     counters = HostCounters(
-        int(state.episodes_done), int(state.env_steps), persisted_totals
+        int(state.episodes_done), int(state.env_steps),
+        int(state.train_steps), persisted_totals,
     )
     last_save = counters.episodes
     last_save_t = time.monotonic()
@@ -452,6 +459,10 @@ def train(
         else:
             _save_all()
         if coordinator:
+            # totals must accompany the (possibly rebased) shard dump:
+            # a stale number_base would shift every post-resume episode
+            # number by the missed rebase amount
+            experiment.add_hyperparameter({"counter_totals": counters.totals()})
             experiment.save()
 
     # fault injection (SURVEY.md §5 failure-detection aux): raise at a
@@ -477,6 +488,7 @@ def train(
         # metrics were drained.
         pending = chunk(state) if counters.episodes < target_episodes else None
         rebase_amt = 0
+        first_chunk_timed = False
         while pending is not None:
             cur_state, snapshot = pending  # chunk k's output (in flight)
             # chunk k's log was numbered with the PRE-rebase counters —
@@ -502,9 +514,12 @@ def train(
             pending = chunk(cur_state)
             episodes = []
             if coordinator:
-                # transfers + record building overlap chunk k+1
+                # transfers + record building overlap chunk k+1; stream
+                # retention skips the O(episodes) dict build when the
+                # native JSONL sink carries them
                 episodes, dropped = loop_lib.finish_drain(
-                    drain_handle, drain_base
+                    drain_handle, drain_base,
+                    build_dicts=config.episode_retention != "stream",
                 )
                 # impossible by construction: the per-env slots are sized
                 # to the provable per-chunk bound (loop.effective_log_size)
@@ -518,13 +533,14 @@ def train(
             # separate int() casts cost two ~25ms round trips on a
             # remote-attached backend); the int32 device readings fold
             # into the exact host totals wrap-aware
-            done_dev, steps_dev = (
+            done_dev, steps_dev, train_dev = (
                 int(x)
                 for x in jax.device_get(
-                    (state.episodes_done, state.env_steps)
+                    (state.episodes_done, state.env_steps,
+                     state.train_steps)
                 )
             )
-            counters.update(done_dev, steps_dev)
+            counters.update(done_dev, steps_dev, train_dev)
             done_now, steps_now = counters.episodes, counters.env_steps
             if done_dev > HostCounters.REBASE_AT:
                 lt, ls = (
@@ -534,9 +550,14 @@ def train(
                     )
                 )
                 rebase_amt = loop_lib.rebase_amount(config, done_dev, lt, ls)
-            if meter.total_steps == 0 and steps_now:
-                # first chunk done: drop compile time from the rate window
+            if not first_chunk_timed and steps_now:
+                # first chunk of THIS process run done: drop compile time
+                # from the rate window. (Guarding on total_steps == 0
+                # never fired for resumed runs, whose meters then
+                # amortized compile into the reported sustained rates —
+                # r04 review finding.)
                 meter.reset_baseline()
+                first_chunk_timed = True
             if fault_at and done_now >= fault_at:
                 raise RuntimeError(
                     f"fault injection: episodes_done={done_now} >= {fault_at}"

@@ -45,27 +45,37 @@ def tiny_config(**kw):
 class TestHostCounters:
     def test_accumulates_across_int32_wrap(self):
         # device counter wraps 2^31 -> negative; host total is exact
-        c = trainer_lib.HostCounters(0, 2**31 - 100)
+        c = trainer_lib.HostCounters(0, 2**31 - 100, 0)
         wrapped = np.int32(np.uint32((2**31 - 100) + 4096))  # negative
-        c.update(0, int(wrapped))
+        c.update(0, int(wrapped), 0)
         assert c.env_steps == 2**31 - 100 + 4096  # crossed 2^31
-        c.update(0, int(np.int32(np.uint32(wrapped + 4096))))
+        c.update(0, int(np.int32(np.uint32(wrapped + 4096))), 0)
         assert c.env_steps == 2**31 - 100 + 8192
+
+    def test_train_steps_accumulate_across_wrap(self):
+        # the learner-update counter wraps on the same timescale as the
+        # episode counter at full cadence (r04 review finding)
+        c = trainer_lib.HostCounters(0, 0, 2**31 - 10)
+        wrapped = int(np.int32(np.uint32(2**31 - 10 + 50)))
+        c.update(0, 0, wrapped)
+        assert c.train_steps == 2**31 + 40
 
     def test_resume_restores_absolute_totals(self):
         totals = {"episodes": 5_000_000_000, "env_steps": 7_000_000_000,
+                  "train_steps": 4_900_000_000,
                   "number_base": 4_999_000_000}
-        c = trainer_lib.HostCounters(1_000_000, 123, totals)
+        c = trainer_lib.HostCounters(1_000_000, 123, 7, totals)
         assert c.episodes == 5_000_000_000
-        c.update(1_000_100, 123 + 512)
+        c.update(1_000_100, 123 + 512, 9)
         assert c.episodes == 5_000_000_100
         assert c.env_steps == 7_000_000_512
+        assert c.train_steps == 4_900_000_002
 
     def test_note_rebase_keeps_deltas_and_numbering(self):
-        c = trainer_lib.HostCounters(2**30 + 500, 0)
+        c = trainer_lib.HostCounters(2**30 + 500, 0, 0)
         c.note_rebase(2**30)
         assert c.number_base == 2**30
-        c.update(520, 0)  # device now reads the rebased value + 20
+        c.update(520, 0, 0)  # device now reads the rebased value + 20
         assert c.episodes == 2**30 + 520
 
 
@@ -91,6 +101,36 @@ class TestRebase:
                 assert min(done, lt, ls) - amt >= keep
                 # learner deficit invariant
                 assert (done - amt) - max(lt - amt, gate) == done - max(lt, gate)
+
+    def test_unbounded_lag_is_clamped_so_protection_still_works(self):
+        """Under-cadenced configs grow the learner deficit without bound;
+        the rebase clamps lags to REBASE_LAG_CAP so episodes_done can
+        always be pulled back from 2^31 (r04 review finding)."""
+        cfg = tiny_config()
+        done = 2**30 + 777
+        lt = ls = 0  # e.g. with_learner=False bench chunks never advance
+        amt = loop_lib.rebase_amount(cfg, done, lt, ls)
+        assert amt > 0
+        assert done - amt < 2**21  # pulled into the safe band
+        state = loop_lib.create_train_state(cfg)
+        state = state.replace(
+            episodes_done=jnp.int32(done),
+            last_train_episodes=jnp.int32(lt),
+            last_sync_episodes=jnp.int32(ls),
+        )
+        out = loop_lib.rebase_counters(state, amt)
+        assert int(out.episodes_done) == done - amt
+        # clamped lags stay within the cap of the rebased counter
+        assert (
+            int(out.episodes_done) - int(out.last_train_episodes)
+            <= loop_lib.REBASE_LAG_CAP
+        )
+        assert int(out.last_train_episodes) >= 0
+        # a sync is still (correctly) pending after the clamp
+        sync = cfg.no_episodes_before_updating_target
+        assert (int(out.episodes_done) // sync) > (
+            int(out.last_sync_episodes) // sync
+        )
 
     def test_rebase_counters_shifts_only_episode_counters(self):
         cfg = tiny_config()

@@ -38,3 +38,21 @@ def test_sss_preset_values():
     assert cfg.replay_buffer_length == 100_000
     assert cfg.no_episodes == 50_000
     assert cfg.use_astar_seed
+
+
+def test_enum_config_fields_validated():
+    """Typos in enum-like knobs fail loudly instead of silently picking
+    the other behavior (r04 review finding)."""
+    import pytest
+
+    from t48.configs import get_preset
+
+    for field, bad in [
+        ("learner_update_mode", "whil"),
+        ("episode_retention", "steam"),
+        ("env_backend", "cuda"),
+        ("policy_compat", "strict"),
+        ("compute_dtype", "float64"),
+    ]:
+        with pytest.raises(ValueError, match=field):
+            get_preset("conv", **{field: bad})
