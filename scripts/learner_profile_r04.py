@@ -486,7 +486,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode", default="both",
-        choices=["inloop", "bisect", "both", "micro", "configs", "flags"],
+        choices=["inloop", "bisect", "both", "micro", "configs", "flags", "convshape"],
     )
     ap.add_argument("--env-batch", type=int, default=4096)
     ap.add_argument("--chunk-iters", type=int, default=32)
@@ -517,7 +517,152 @@ def main():
         out["flags"] = flag_variants(
             args.chunk_iters, pipeline=2, trials=args.trials,
         )
+    if args.mode == "convshape":
+        out["convshape"] = conv_shape_experiment(args.env_batch, args.trials)
     print(json.dumps(out, indent=1, default=str))
+
+
+
+
+def conv_shape_experiment(env_batch: int, trials: int):
+    """Grad+Adam cost of the current 4-batched conv2 vs an N-folded
+    variant (one [64x256]x[256x4B] matmul + a static Dense_0 row
+    permutation) — measured in a scan, interleaved, with a noop
+    baseline. Production adoption only if it wins clearly."""
+    import jax.numpy as jnp
+    import optax
+
+    from t48.agent import cm_forward, networks
+    from t48.configs import get_preset
+    from t48.train import loop as loop_lib
+
+    cfg = get_preset("sss_published", env_batch=env_batch)
+    net = loop_lib.build_net(cfg)
+    encode = loop_lib.encoder_for(cfg.arch, cfg.board_k)
+    params = net.init(jax.random.PRNGKey(0),
+                      encode(jnp.zeros((1, 16), jnp.int8)))
+    optimizer = loop_lib.build_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    dtype = networks.dtype_of(cfg.compute_dtype)
+
+    x = jax.random.randint(jax.random.PRNGKey(1), (16, 5000), 0, 10)
+    actions = jax.random.randint(jax.random.PRNGKey(2), (5000,), 0, 4)
+    targets = jax.random.uniform(jax.random.PRNGKey(3), (5000,)) * 100
+
+    P = cm_forward._CONV2_POS
+    T = cm_forward._TAPS
+    C1 = cm_forward._CONV1_POS
+    # feat-major -> pos-major index permutation for Dense_0 rows
+    # v2 flat index j = feat*4 + pos must read flax row pos*64 + feat
+    perm = jnp.asarray(
+        [p * 64 + f for f in range(64) for p in range(4)], jnp.int32
+    )
+
+    def fwd_v2(p_, xc):
+        pp = p_["params"]
+        xx = xc.astype(dtype)
+        bshape = xx.shape[1:]
+        nb = len(bshape)
+        bc = lambda v, lead: v.reshape((1, -1) + (1,) * lead)
+        k1 = pp["Conv_0"]["kernel"].astype(dtype).reshape(4, -1)
+        b1 = pp["Conv_0"]["bias"].astype(dtype)
+        x1 = jnp.stack(
+            [jnp.stack([xx[(r + dr) * 4 + (c + dc)] for dr, dc in T])
+             for r, c in C1]
+        )
+        h1 = jnp.einsum("pt...,tf->pf...", x1, k1) + bc(b1, nb)
+        h1 = jnp.maximum(h1, 0)  # [9, 64, *b]
+        # N-folded conv2: x2 [256, 4, *b]; one matmul over (4, *b) batch
+        k2 = pp["Conv_1"]["kernel"].astype(dtype).reshape(256, 64)
+        b2 = pp["Conv_1"]["bias"].astype(dtype)
+        x2 = jnp.stack(
+            [jnp.concatenate([h1[(r + dr) * 3 + (c + dc)] for dr, dc in T],
+                             axis=0) for r, c in P],
+            axis=1,
+        )  # [256, 4, *b]
+        h2 = jnp.einsum("t...,tf->f...", x2, k2) + b2.reshape(
+            (-1, 1) + (1,) * nb
+        )
+        h2 = jnp.maximum(h2, 0)  # [64, 4, *b]
+        flat = h2.reshape((256,) + bshape)  # FEAT-major
+        # Dense_0 with rows permuted to match feat-major flatten
+        w0 = pp["Dense_0"]["kernel"].astype(dtype)[perm]
+        b0 = pp["Dense_0"]["bias"].astype(dtype)
+        h3 = jnp.maximum(
+            jnp.einsum("io,i...->o...", w0, flat)
+            + b0.reshape((-1,) + (1,) * nb), 0,
+        )
+        w1 = pp["Dense_1"]["kernel"].astype(dtype)
+        b1_ = pp["Dense_1"]["bias"].astype(dtype)
+        return jnp.einsum("io,i...->o...", w1, h3) + b1_.reshape(
+            (-1,) + (1,) * nb
+        )
+
+    fwd_v1 = cm_forward.build_cm_forward("conv", dtype)
+
+    # numeric check: v2 == v1 to tolerance
+    q1 = jax.jit(fwd_v1)(params, x)
+    q2 = jax.jit(fwd_v2)(params, x)
+    import numpy as np
+    err = float(jnp.abs(q1 - q2).max())
+    assert err < 2.0, f"v2 mismatch: {err}"
+
+    def make_runner(fwd):
+        def loss(p_):
+            q = fwd(p_, x)  # [4, 5000]
+            onehot = actions[None] == jnp.arange(4)[:, None]
+            taken = jnp.sum(jnp.where(onehot, q, 0.0), 0).astype(jnp.float32)
+            return jnp.sum(jnp.square(taken - targets))
+
+        def body(carry, _):
+            p_, o_ = carry
+            l, g = jax.value_and_grad(loss)(p_)
+            up, o2 = optimizer.update(g, o_, p_)
+            return (optax.apply_updates(p_, up), o2), None
+
+        @jax.jit
+        def run(p_, o_):
+            (p2, o2), _ = jax.lax.scan(body, (p_, o_), None, length=64)
+            return p2
+
+        return run
+
+    def make_noop():
+        @jax.jit
+        def run(p_, o_):
+            def body(carry, _):
+                pp, oo = carry
+                pp = jax.tree_util.tree_map(lambda v: v + 0e-30, pp)
+                return (pp, oo), None
+            (p2, _), _ = jax.lax.scan(body, (p_, o_), None, length=64)
+            return p2
+        return run
+
+    fns = {}
+    for name, runner in [("noop", make_noop()),
+                         ("v1_batched", make_runner(fwd_v1)),
+                         ("v2_nfolded", make_runner(fwd_v2))]:
+        def call(runner=runner):
+            out = None
+            for _ in range(4):
+                out = runner(params, opt_state)
+            return out
+
+        def sync(p_):
+            return float(jax.device_get(
+                jax.tree_util.tree_reduce(
+                    lambda a, v: a + jnp.sum(v.astype(jnp.float32)), p_, 0.0
+                )
+            ))
+
+        fns[name] = (call, sync)
+    best = interleaved_time(fns, trials)
+    n = 64 * 4
+    out = {k: {"us_per_update": round(v / n * 1e6, 1)} for k, v in best.items()}
+    base = out["noop"]["us_per_update"]
+    for k in ("v1_batched", "v2_nfolded"):
+        out[k]["us_minus_noop"] = round(out[k]["us_per_update"] - base, 1)
+    return out
 
 
 if __name__ == "__main__":
