@@ -174,6 +174,60 @@ class TestDrainNumberBase:
             assert [json.loads(ln)["number"] for ln in lines] == nums
 
 
+class TestDrainBuildDictsGating:
+    def test_stream_mode_without_native_falls_back_to_full_dicts(self, monkeypatch):
+        """build_dicts=False relies on the native JSONL sink; when the
+        native formatter is unavailable the Python path still needs the
+        dicts — finish_drain must fall back to building all of them."""
+        from t48 import native
+
+        cfg = tiny_config()
+        chunk = loop_lib.make_train_chunk(cfg)
+        state = loop_lib.create_train_state(cfg)
+        for _ in range(12):
+            state, _ = chunk(state)
+            handle = loop_lib.start_drain(state.log)
+            full, _ = loop_lib.finish_drain(handle, 0, build_dicts=True)
+            if full:
+                break
+        assert full
+
+        def boom(rows, base=0):
+            raise RuntimeError("no native")
+
+        monkeypatch.setattr(native, "format_episodes_jsonl", boom)
+        handle = loop_lib.start_drain(state.log)
+        episodes, _ = loop_lib.finish_drain(handle, 0, build_dicts=False)
+        assert episodes.jsonl is None
+        assert [e["number"] for e in episodes] == [
+            e["number"] for e in full
+        ]
+
+    def test_stream_mode_with_native_keeps_last_dict_only(self):
+        from t48 import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        cfg = tiny_config()
+        chunk = loop_lib.make_train_chunk(cfg)
+        state = loop_lib.create_train_state(cfg)
+        full = []
+        for _ in range(12):
+            state, _ = chunk(state)
+            handle = loop_lib.start_drain(state.log)
+            full, _ = loop_lib.finish_drain(handle, 5, build_dicts=True)
+            if len(full) >= 2:
+                break
+        assert len(full) >= 2
+        handle = loop_lib.start_drain(state.log)
+        lean, _ = loop_lib.finish_drain(handle, 5, build_dicts=False)
+        assert lean.jsonl is not None
+        assert len(lean) == 1 and lean[0] == full[-1]
+        # the JSONL still carries every episode
+        lines = [json.loads(ln) for ln in lean.jsonl.decode().splitlines()]
+        assert [e["number"] for e in lines] == [e["number"] for e in full]
+
+
 class TestTrainCrosses2Pow31:
     def test_resumed_run_crosses_2pow31_steps(self, tmp_path):
         """End-to-end: a seeded counter state just below 2^31 total env

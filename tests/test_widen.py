@@ -150,6 +150,26 @@ class TestWidenTrainState:
         assert np.isfinite(float(out.last_loss))
 
 
+class TestWidenUnderMesh:
+    def test_widened_state_distributes_and_trains_on_mesh(self):
+        """The widened state places onto the 8-device 'data' mesh and the
+        meshed chunk runs — the staged schedule composes with DP."""
+        from t48.distrib import distribute_train_state, make_mesh
+
+        cfg_a = _cfg(env_batch=8)
+        cfg_b = _cfg(env_batch=32)
+        state = loop_lib.create_train_state(cfg_a)
+        chunk_a = loop_lib.make_train_chunk(cfg_a)
+        state, _ = chunk_a(state)
+        wide = widen_lib.widen_train_state(state, cfg_a, cfg_b)
+        mesh = make_mesh(n_data=8)
+        dist = distribute_train_state(wide, mesh, cfg_b)
+        chunk_b = loop_lib.make_train_chunk(cfg_b, mesh=mesh)
+        out, _ = chunk_b(dist)
+        assert int(out.episodes_done) >= int(wide.episodes_done)
+        assert np.isfinite(float(out.last_loss))
+
+
 class TestStagedResume:
     def test_widen_checkpoint_then_resume_continues_curve(self, tmp_path):
         """Phase 1 at a small batch, widen the checkpoint in place, phase
