@@ -598,14 +598,60 @@ def conv_shape_experiment(env_batch: int, trials: int):
             (-1,) + (1,) * nb
         )
 
+
+    def fwd_v3(p_, xc):
+        """Tap-wise conv2 + position-wise Dense_0: NO concat/stack
+        materialization anywhere past h1 — conv2 output position p is a
+        sum of four [64x64] tap matmuls on h1 slices read in place, and
+        Dense_0 consumes the four position blocks as separate [64->64]
+        matmuls summed. Identical flops and math to v1 (different
+        accumulation order)."""
+        pp = p_["params"]
+        xx = xc.astype(dtype)
+        bshape = xx.shape[1:]
+        nb = len(bshape)
+        k1 = pp["Conv_0"]["kernel"].astype(dtype).reshape(4, -1)
+        b1 = pp["Conv_0"]["bias"].astype(dtype)
+        x1 = jnp.stack(
+            [jnp.stack([xx[(r + dr) * 4 + (c + dc)] for dr, dc in T])
+             for r, c in C1]
+        )
+        h1 = jnp.einsum("pt...,tf->pf...", x1, k1) + b1.reshape(
+            (1, -1) + (1,) * nb
+        )
+        h1 = jnp.maximum(h1, 0)  # [9, 64, *b]
+        k2 = pp["Conv_1"]["kernel"].astype(dtype).reshape(4, 64, 64)
+        b2 = pp["Conv_1"]["bias"].astype(dtype)
+        w0 = pp["Dense_0"]["kernel"].astype(dtype).reshape(4, 64, 64)
+        b0 = pp["Dense_0"]["bias"].astype(dtype)
+        h3 = None
+        for pi, (r, c) in enumerate(P):
+            h2p = None
+            for ti, (dr, dc) in enumerate(T):
+                contrib = jnp.einsum(
+                    "i...,io->o...", h1[(r + dr) * 3 + (c + dc)], k2[ti]
+                )
+                h2p = contrib if h2p is None else h2p + contrib
+            h2p = jnp.maximum(h2p + b2.reshape((-1,) + (1,) * nb), 0)
+            c0 = jnp.einsum("i...,io->o...", h2p, w0[pi])
+            h3 = c0 if h3 is None else h3 + c0
+        h3 = jnp.maximum(h3 + b0.reshape((-1,) + (1,) * nb), 0)
+        w1 = pp["Dense_1"]["kernel"].astype(dtype)
+        b1_ = pp["Dense_1"]["bias"].astype(dtype)
+        return jnp.einsum("io,i...->o...", w1, h3) + b1_.reshape(
+            (-1,) + (1,) * nb
+        )
+
     fwd_v1 = cm_forward.build_cm_forward("conv", dtype)
 
     # numeric check: v2 == v1 to tolerance
     q1 = jax.jit(fwd_v1)(params, x)
     q2 = jax.jit(fwd_v2)(params, x)
-    import numpy as np
+    q3 = jax.jit(fwd_v3)(params, x)
     err = float(jnp.abs(q1 - q2).max())
     assert err < 2.0, f"v2 mismatch: {err}"
+    err3 = float(jnp.abs(q1 - q3).max())
+    assert err3 < 2.0, f"v3 mismatch: {err3}"
 
     def make_runner(fwd):
         def loss(p_):
@@ -641,7 +687,8 @@ def conv_shape_experiment(env_batch: int, trials: int):
     fns = {}
     for name, runner in [("noop", make_noop()),
                          ("v1_batched", make_runner(fwd_v1)),
-                         ("v2_nfolded", make_runner(fwd_v2))]:
+                         ("v2_nfolded", make_runner(fwd_v2)),
+                         ("v3_tapwise", make_runner(fwd_v3))]:
         def call(runner=runner):
             out = None
             for _ in range(4):
@@ -660,7 +707,7 @@ def conv_shape_experiment(env_batch: int, trials: int):
     n = 64 * 4
     out = {k: {"us_per_update": round(v / n * 1e6, 1)} for k, v in best.items()}
     base = out["noop"]["us_per_update"]
-    for k in ("v1_batched", "v2_nfolded"):
+    for k in ("v1_batched", "v2_nfolded", "v3_tapwise"):
         out[k]["us_minus_noop"] = round(out[k]["us_per_update"] - base, 1)
     return out
 
