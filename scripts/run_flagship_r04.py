@@ -72,11 +72,10 @@ def run_staged(
         verbose=True,
     )
     wall_warm = time.time() - t0
-    warm_episodes = _totals(job_dir)["episodes"]
-    warm_steps = _totals(job_dir)["env_steps"]
-    warm_updates_done = _totals(job_dir).get(
-        "train_steps", int(state_a.train_steps)
-    )
+    warm = _totals(job_dir)
+    warm_episodes = warm["episodes"]
+    warm_steps = warm["env_steps"]
+    warm_updates_done = warm.get("train_steps", int(state_a.train_steps))
 
     widen_job_checkpoint(job_dir, cfg_a, cfg_b)
 
