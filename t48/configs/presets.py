@@ -122,6 +122,26 @@ class T48Config:
                 raise ValueError(
                     f"{field}={v!r} not in {allowed}"
                 )
+        # Overflow-protection precondition (r04 advisor finding): the
+        # trainer rebases the int32 device episode counter at 2^30 by a
+        # multiple of the target-sync period while keeping every schedule
+        # consumer saturated (t48/train/loop.py rebasing note). If the
+        # schedule horizons or the sync period eat the whole 2^30 slack,
+        # rebase_amount returns 0 forever and the counter would silently
+        # wrap after all — reject such configs up front.
+        keep_min = max(
+            self.no_episodes_to_reach_epsilon,
+            self.no_episodes_before_training,
+            self.no_episodes_to_fill_up_existing_model_replay_buffer,
+        ) + 1
+        sync = max(self.no_episodes_before_updating_target, 1)
+        if keep_min + sync >= 1 << 30:
+            raise ValueError(
+                f"schedule horizons leave no rebase slack: "
+                f"max(schedule episodes)+1 ({keep_min}) + target-sync "
+                f"period ({sync}) must stay below 2^30 or the int32 "
+                f"episode counter cannot be rebased away from overflow"
+            )
 
     def hyperparams_dict(self) -> dict:
         """Reference-comparable hyperparams mapping (experiments.py:104-110

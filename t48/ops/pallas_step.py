@@ -449,7 +449,12 @@ def _env_step_core(cells, legal, action, spawn_bits, reset_bits):
 
 def _env_step_kernel(seed_ref, boards_ref, legal_ref, actions_ref,
                      out_boards_ref, out_pre_ref, out_legal_ref, reward_ref):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # Two seed words: the full 64 bits of the per-iteration threefry key.
+    # A single 32-bit word collides by birthday statistics after ~77k
+    # iterations (flagship runs millions), replaying one iteration's
+    # spawn stream (r04 advisor finding); seeding with both words makes
+    # collisions a 64-bit event.
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     block = boards_ref.shape[1]
     sub = 8
     lanes = block // sub
@@ -483,22 +488,46 @@ def pallas_env_step(
     """One policy-driven env step for all B envs, fused in VMEM.
 
     Args:
-      boards_cm: int32[16, B] cell-major boards.
+      boards_cm: int32[16, B] cell-major boards (any B ≥ 1: batches that
+                 are not a multiple of the 1024-lane block are padded
+                 with dummy envs and sliced back — see below).
       legal_cm:  int32[4, B] 0/1 legality of the CURRENT boards (as
                  produced by a previous call's ``new_legal``, or
                  ``legal_to_cell_major`` at chunk entry).
       actions:   int32[B] chosen actions (0..3).
-      seed:      int32 scalar; must differ per step for fresh randomness.
+      seed:      int32 scalar or int32[2]; must differ per step for fresh
+                 randomness. Pass BOTH words of a threefry key — a single
+                 32-bit stream repeats by birthday statistics within a
+                 long run (r04 advisor finding).
 
     Returns (new_boards_cm int32[16,B] — post-reset carry,
              pre_reset_cm int32[16,B] — post-action pre-reset boards,
              new_legal_cm int32[4,B] — legality of new_boards,
              reward int32[B] — merge-score delta, 0 on no-op/terminal).
+
+    Block padding: the kernel folds each 1024-lane block into the VPU's
+    (8 sublanes, 128 lanes) tiles. Rather than reject B % 1024 != 0 (the
+    r04 constraint, which silently demoted the exact-batch b2560
+    flagship and odd per-shard batches to the XLA env), the wrapper pads
+    the batch to the next block multiple with zero boards (legality 0 →
+    the kernel treats them as terminal and resets them; their outputs
+    are sliced off). Full blocks keep the exact batch→tile mapping and
+    PRNG stream of the unpadded call; the pad costs one partially-wasted
+    block of VPU work (~µs) and ~O(pad) HBM traffic.
     """
     n = boards_cm.shape[1]
-    block = 1024  # (8 sublanes × 128 lanes) folding needs block % 1024 == 0
-    grid = n // block
-    assert grid * block == n, (n, block)
+    block = 1024  # (8 sublanes × 128 lanes) folding: block % 1024 == 0
+    pad = (-n) % block
+    if pad:
+        boards_cm = jnp.pad(boards_cm, ((0, 0), (0, pad)))
+        legal_cm = jnp.pad(legal_cm, ((0, 0), (0, pad)))
+        actions = jnp.pad(actions, ((0, pad),))
+    nb = n + pad
+    grid = nb // block
+    seed = jnp.asarray(seed, jnp.int32).reshape(-1)
+    if seed.shape[0] == 1:  # legacy scalar seed: zero second word
+        seed = jnp.concatenate([seed, jnp.zeros((1,), jnp.int32)])
+    assert seed.shape[0] == 2, seed.shape
     out = pl.pallas_call(
         _env_step_kernel,
         grid=(grid,),
@@ -523,18 +552,23 @@ def pallas_env_step(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NCELLS, n), jnp.int32),
-            jax.ShapeDtypeStruct((NCELLS, n), jnp.int32),
-            jax.ShapeDtypeStruct((4, n), jnp.int32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((NCELLS, nb), jnp.int32),
+            jax.ShapeDtypeStruct((NCELLS, nb), jnp.int32),
+            jax.ShapeDtypeStruct((4, nb), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb), jnp.int32),
         ],
     )(
-        jnp.asarray(seed, jnp.int32).reshape(1),
+        seed,
         boards_cm,
         legal_cm,
-        actions.astype(jnp.int32).reshape(1, n),
+        actions.astype(jnp.int32).reshape(1, nb),
     )
     new_boards, pre, new_legal, reward = out
+    if pad:
+        new_boards = new_boards[:, :n]
+        pre = pre[:, :n]
+        new_legal = new_legal[:, :n]
+        reward = reward[:, :n]
     return new_boards, pre, new_legal, reward[0]
 
 

@@ -194,11 +194,16 @@ def resolve_env_backend(config: T48Config, mesh=None) -> str:
     """Trace-time choice of the in-loop env step implementation.
 
     'auto' → the fused Pallas kernel iff running on TPU with k=4 and a
-    per-shard batch that is a multiple of 1024 (the kernel folds its
-    block into (8 sublanes, block/8 lanes) — Mosaic requires the lane
-    count be a multiple of the 128-wide vregs, so block % 1024 == 0);
-    the XLA cell-major engine otherwise (CPU tests, the virtual-device
-    dry run, small/odd batches).
+    per-shard batch of at least 256 envs; the XLA cell-major engine
+    otherwise (CPU tests, the virtual-device dry run, tiny batches).
+
+    The r04 constraint additionally required per-shard % 1024 == 0 (the
+    kernel's block size), which silently demoted the exact-batch b2560
+    flagship — the round's headline config — to the XLA env (VERDICT r04
+    weak #3). ``pallas_env_step`` now pads odd batches to the block
+    internally, so the only remaining gate is a size floor: below ~256
+    envs the padded block is mostly wasted lanes and such configs
+    (env_batch=1 reference-cadence runs) gain nothing from the kernel.
     """
     if config.env_backend != "auto":
         return config.env_backend
@@ -208,12 +213,11 @@ def resolve_env_backend(config: T48Config, mesh=None) -> str:
         on_tpu = False
     n_shards = 1 if mesh is None else int(np_prod_mesh(mesh))
     per_shard = config.env_batch // max(n_shards, 1)
-    tileable = per_shard > 0 and per_shard % 1024 == 0
     ok = (
         on_tpu
         and config.board_k == 4
         and config.env_batch % max(n_shards, 1) == 0
-        and tileable
+        and per_shard >= 256
     )
     return "pallas" if ok else "xla"
 
@@ -388,10 +392,14 @@ def make_train_iteration(
             from jax.sharding import PartitionSpec as P
 
             def _local_step(bcm, lcm, act, seed):
-                # distinct PRNG stream per shard
-                seed = seed + jax.lax.axis_index("data").astype(
-                    jnp.int32
-                ) * jnp.int32(1_000_003)
+                # distinct PRNG stream per shard: mix the data-axis index
+                # into the second seed word (golden-ratio multiplier so
+                # adjacent shards differ in high bits too). The first
+                # word already absorbs the kernel's per-block program_id.
+                shard = jax.lax.axis_index("data").astype(jnp.int32)
+                seed = seed.at[1].set(
+                    seed[1] ^ (shard * jnp.int32(-1640531527))
+                )
                 return ps.pallas_env_step(bcm, lcm, act, seed)
 
             kernel_step = jax.shard_map(
@@ -438,13 +446,14 @@ def make_train_iteration(
 
         # ---- env step (apply + spawn + auto-reset + next legality)
         if backend == "pallas":
-            # Kernel PRNG seed from the per-iteration threefry key, NOT a
-            # step counter: `env_steps * weyl` wrapped int32 after 2^31
-            # env steps (~195s at sustained r03 rates) and then replayed
-            # the same seed sequence. k_env is this iteration's already-
-            # split key (unused otherwise on the Pallas path) — a fresh
-            # non-repeating 32-bit stream with zero extra ops.
-            seed = jnp.asarray(k_env)[-1].astype(jnp.int32)
+            # Kernel PRNG seed: BOTH 32-bit words of this iteration's
+            # threefry key (k_env is already split, unused otherwise on
+            # the Pallas path). One word alone repeats by birthday
+            # statistics after ~77k iterations — ~50% odds of replaying
+            # some earlier iteration's spawn stream for one step within a
+            # flagship run (r04 advisor finding); the two-word seed makes
+            # a collision a 64-bit event.
+            seed = jnp.asarray(k_env).astype(jnp.int32)  # int32[2]
             new_cm, pre_cm, new_legal_cm, reward = kernel_step(
                 cme.boards_cm, cme.legal_cm, actions, seed
             )

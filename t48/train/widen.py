@@ -137,6 +137,32 @@ def widen_job_checkpoint(job_dir: str, old_config: T48Config,
     from t48.exp.checkpoint import restore_checkpoint, save_checkpoint
 
     path = os.path.join(job_dir, "binary", "checkpoint.npz")
+    # Guard (r04 advisor finding): resume prefers whichever of the
+    # checkpoint and the emergency shard dump is NEWER
+    # (trainer.load_resume_state). Widening only rewrites checkpoint.npz;
+    # if phase 1 crashed and left a newer emergency dump, the post-widen
+    # resume would restore the un-widened shards into the widened
+    # template — shape mismatch at best, silently stale state at worst.
+    # Refuse and tell the operator to resolve the dump first (resume the
+    # old config to fold it into a fresh checkpoint, or delete it).
+    emergency = os.path.join(job_dir, "binary", "emergency")
+    if os.path.isdir(emergency):
+        shard_times = [
+            os.path.getmtime(os.path.join(emergency, f))
+            for f in os.listdir(emergency)
+            if f.startswith("shards.proc")
+        ]
+        if shard_times and (
+            not os.path.exists(path)
+            or max(shard_times) > os.path.getmtime(path)
+        ):
+            raise RuntimeError(
+                f"{emergency} holds shard dumps newer than the checkpoint; "
+                f"resume under the old config to fold them into "
+                f"checkpoint.npz (or remove the dump) before widening — "
+                f"otherwise the post-widen resume would restore un-widened "
+                f"state"
+            )
     template = loop_lib.create_train_state(old_config)
     state = restore_checkpoint(path, template)
     widened = widen_train_state(state, old_config, new_config)

@@ -12,13 +12,20 @@ config as well, before any backend is initialized.
 
 import os
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("T48_TPU_TESTS"):
+    # Opt-in TPU mode: leave the backend alone (the tunneled TPU) so the
+    # tpu-marked tests (tests/test_tpu_device.py) run against real
+    # hardware. Everything else still passes — CPU-only assumptions are
+    # per-test, not global.
+    import jax  # noqa: F401
+else:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

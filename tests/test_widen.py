@@ -203,3 +203,46 @@ class TestStagedResume:
                 nums.append(json.loads(line)["number"])
         assert nums == sorted(nums)
         assert nums[-1] >= phase1["episodes"] + 39
+
+
+class TestWidenEmergencyGuard:
+    def test_widen_refuses_newer_emergency_dump(self, tmp_path):
+        """A crash after phase 1 leaves binary/emergency newer than
+        checkpoint.npz; load_resume_state would prefer it, restoring
+        un-widened state into the widened template. widen_job_checkpoint
+        must refuse (r04 advisor finding)."""
+        import pytest
+
+        from t48.exp.checkpoint import save_process_shards
+
+        root = str(tmp_path)
+        cfg_a = _cfg(env_batch=8)
+        state, _ = trainer_lib.train(
+            cfg_a, root_dir=root, job_name="staged", max_episodes=20,
+            verbose=False,
+        )
+        job = os.path.join(root, "staged")
+        # simulate a crash-dump written AFTER the checkpoint
+        save_process_shards(os.path.join(job, "binary", "emergency"), state)
+        cfg_b = _cfg(env_batch=24)
+        with pytest.raises(RuntimeError, match="emergency"):
+            widen_lib.widen_job_checkpoint(job, cfg_a, cfg_b)
+
+    def test_widen_proceeds_when_checkpoint_newer(self, tmp_path):
+        """An emergency dump older than the checkpoint (already folded in
+        by a resume) does not block widening."""
+        from t48.exp.checkpoint import save_process_shards
+
+        root = str(tmp_path)
+        cfg_a = _cfg(env_batch=8)
+        state, _ = trainer_lib.train(
+            cfg_a, root_dir=root, job_name="staged", max_episodes=20,
+            verbose=False,
+        )
+        job = os.path.join(root, "staged")
+        save_process_shards(os.path.join(job, "binary", "emergency"), state)
+        ckpt = os.path.join(job, "binary", "checkpoint.npz")
+        future = os.path.getmtime(ckpt) + 60
+        os.utime(ckpt, (future, future))
+        cfg_b = _cfg(env_batch=24)
+        widen_lib.widen_job_checkpoint(job, cfg_a, cfg_b)  # no raise
