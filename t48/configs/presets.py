@@ -105,6 +105,20 @@ class T48Config:
     # engine. The Pallas path uses the TPU-native PRNG — a different (but
     # deterministic) random stream than the XLA path's threefry.
     env_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # --- learning-rate schedule (r05; documented divergence — the
+    # reference's optimizer is constant-lr Adam). 'constant' builds the
+    # EXACT r04 optimizer (opt_state structure unchanged, old checkpoints
+    # restore). 'cosine'/'linear' hold ``learning_rate`` for
+    # ``lr_decay_start`` updates then decay to ``learning_rate *
+    # lr_final_scale`` over ``lr_decay_steps`` updates (update count ==
+    # episode count at the reference's 1-update-per-episode cadence, so
+    # episode-denominated horizons translate directly). A staged schedule
+    # that decays only after the 17,758-episode reference checkpoint
+    # leaves the curve-fidelity window untouched. ---
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' | 'linear'
+    lr_decay_start: int = 20000  # updates at full lr before decay begins
+    lr_decay_steps: int = 100000  # decay horizon in updates
+    lr_final_scale: float = 0.1  # final lr = learning_rate * this
 
     def __post_init__(self):
         # enum-like knobs fail loudly on typos (a misspelled value would
@@ -115,6 +129,7 @@ class T48Config:
             "env_backend": ("auto", "xla", "pallas"),
             "policy_compat": ("masked", "reference"),
             "compute_dtype": ("float32", "bfloat16"),
+            "lr_schedule": ("constant", "cosine", "linear"),
         }
         for field, allowed in _check.items():
             v = getattr(self, field)
@@ -170,6 +185,16 @@ class T48Config:
             "seed": self.seed,
             "compute_dtype": self.compute_dtype,
             "max_updates_per_iteration": self.max_updates_per_iteration,
+            **(
+                {
+                    "lr_schedule": self.lr_schedule,
+                    "lr_decay_start": self.lr_decay_start,
+                    "lr_decay_steps": self.lr_decay_steps,
+                    "lr_final_scale": self.lr_final_scale,
+                }
+                if self.lr_schedule != "constant"
+                else {}
+            ),
         }
 
     def to_json(self) -> str:

@@ -249,8 +249,31 @@ def build_optimizer(config: T48Config) -> optax.GradientTransformation:
     """The config's optimizer. ``learner_flat_adam`` wraps Adam in
     ``optax.flatten``: moments live in ONE flat vector, so the update is
     a single fused elementwise pass instead of ~8 leaves × ~6 ops each
-    (measured ~1.3× on the update, scripts/learner_microbench.py)."""
-    opt = optax.adam(config.learning_rate)
+    (measured ~1.3× on the update, scripts/learner_microbench.py).
+
+    ``lr_schedule != 'constant'`` (r05, documented divergence) builds
+    Adam on an optax schedule: full lr for ``lr_decay_start`` updates,
+    then cosine/linear decay to ``learning_rate * lr_final_scale`` over
+    ``lr_decay_steps``. The scheduled optimizer carries an extra count
+    leaf in opt_state, so a staged run that widens mid-job must use the
+    SAME schedule mode in both phases (the constant region makes the
+    early phase numerically identical to constant-lr)."""
+    if config.lr_schedule == "constant":
+        opt = optax.adam(config.learning_rate)
+    else:
+        lr, scale = config.learning_rate, config.lr_final_scale
+        if config.lr_schedule == "cosine":
+            decay = optax.cosine_decay_schedule(
+                lr, max(config.lr_decay_steps, 1), alpha=scale
+            )
+        else:
+            decay = optax.linear_schedule(
+                lr, lr * scale, max(config.lr_decay_steps, 1)
+            )
+        sched = optax.join_schedules(
+            [optax.constant_schedule(lr), decay], [config.lr_decay_start]
+        )
+        opt = optax.adam(learning_rate=sched)
     if config.learner_flat_adam:
         opt = optax.flatten(opt)
     return opt

@@ -282,3 +282,79 @@ class TestEnvBackendResolution:
         assert loop_lib.resolve_env_backend(cfg, FakeMesh()) == "xla"
         cfg = tiny_config(env_batch=2561)  # not divisible → xla
         assert loop_lib.resolve_env_backend(cfg, FakeMesh()) == "xla"
+
+
+class TestLrSchedule:
+    """r05 lr-schedule support (documented divergence; VERDICT r04 task 4)."""
+
+    def test_constant_keeps_r04_opt_state_structure(self):
+        import optax
+
+        cfg = tiny_config()
+        params = {"w": jnp.ones((4,))}
+        s_new = loop_lib.build_optimizer(cfg).init(params)
+        s_ref = optax.adam(cfg.learning_rate).init(params)
+        assert jax.tree_util.tree_structure(s_new) == (
+            jax.tree_util.tree_structure(s_ref)
+        )
+
+    def test_schedule_holds_then_decays(self):
+        cfg = tiny_config(
+            lr_schedule="cosine", lr_decay_start=5, lr_decay_steps=10,
+            lr_final_scale=0.0,
+        )
+        opt = loop_lib.build_optimizer(cfg)
+        params = {"w": jnp.ones((4,))}
+        state = opt.init(params)
+        g = {"w": jnp.ones((4,))}
+        sizes = []
+        for _ in range(20):
+            up, state = opt.update(g, state, params)
+            sizes.append(float(jnp.abs(up["w"]).max()))
+        # constant region: steps 0..4 at the same scale (tiny Adam
+        # bias-correction drift in f32 aside)
+        assert abs(sizes[4] - sizes[0]) < 1e-4 * max(sizes[0], 1e-9)
+        # decayed to ~0 by the end (alpha=0 cosine)
+        assert sizes[-1] < sizes[0] * 0.05
+
+    def test_schedule_enum_validated(self):
+        with pytest.raises(ValueError, match="lr_schedule"):
+            tiny_config(lr_schedule="typo")
+
+    def test_scheduled_config_trains_and_widens(self, tmp_path):
+        """Both phases of a staged run under the SAME schedule mode share
+        opt_state structure; the widened resume carries the count."""
+        import os
+
+        from t48.train import trainer as trainer_lib
+        from t48.train import widen as widen_lib
+
+        kw = dict(
+            arch="dense",
+            chunk_iters=16,
+            batch_size=8,
+            replay_buffer_length=64,
+            no_episodes_before_training=0,
+            no_episodes_to_reach_epsilon=10,
+            no_episodes_before_updating_target=10,
+            env_backend="xla",
+            lr_schedule="cosine",
+            lr_decay_start=5,
+            lr_decay_steps=50,
+            seed=3,
+        )
+        root = str(tmp_path)
+        from t48.configs import get_preset
+
+        cfg_a = get_preset("dense", env_batch=8, **kw)
+        trainer_lib.train(cfg_a, root_dir=root, job_name="sched",
+                          max_episodes=20, verbose=False)
+        cfg_b = get_preset("dense", env_batch=16, **kw)
+        widen_lib.widen_job_checkpoint(
+            os.path.join(root, "sched"), cfg_a, cfg_b
+        )
+        state, _ = trainer_lib.train(
+            cfg_b, root_dir=root, job_name="sched", resume=True,
+            max_episodes=60, verbose=False,
+        )
+        assert int(state.train_steps) > 0
