@@ -64,20 +64,38 @@ def run_regime_b(
     total_episodes: int = 30000,
     wide_batch: int = 32768,
     wide_updates: int = 320,
+    batch_size: int = None,
+    cap: bool = False,
+    chunk_iters: int = 256,
     root: str = "experiments",
 ) -> dict:
+    """Three decompositions of regime B (pass via the CLI modes):
+
+    - literal:  wide_batch=32768, cap off → the exact v5e-8 regime-B
+      program (32k envs AND 32k-row learner batches).
+    - lbatch:   wide_batch=2560 (the committed flagships' env geometry)
+      with batch_size=32768 capped → ONLY the learner batch changes to
+      32,768 rows (13 draws/env, masked to exactly 32,768), isolating
+      gradient-scale fidelity from the env-batch episode-indexing wave.
+    - latewiden: widen AFTER the 17,758-episode checkpoint → the
+      checkpoint window is pure b640 (in band by construction) and the
+      run measures regime B's steady-state learning + cadence, the
+      operationally honest staging for a v5e-8 regime-B job.
+    """
     cfg_a = get_preset(
         "sss_published",
         env_batch=640,
         max_updates_per_iteration=5,
         no_episodes=total_episodes,
+        chunk_iters=chunk_iters,
         seed=seed,
     )
     cfg_b = cfg_a.replace(
         env_batch=wide_batch,
         max_updates_per_iteration=wide_updates,
-        learner_batch_cap=False,  # regime B: every env contributes 1 row
+        learner_batch_cap=cap,
         learning_rate=cfg_a.learning_rate * lr_scale,
+        **({"batch_size": batch_size} if batch_size else {}),
     )
     job_dir = os.path.join(root, name)
 
@@ -101,13 +119,36 @@ def run_regime_b(
     phase2_episodes = totals["episodes"] - warm["episodes"]
     with open(os.path.join(job_dir, "text/hyperparams.json")) as f:
         hp = json.load(f)
+    from t48.replay.buffer import sample_rows
+
+    s = sample_rows(cfg_b.batch_size, wide_batch)
+    eff_batch = (
+        min(s * wide_batch, cfg_b.batch_size) if cap else s * wide_batch
+    )
+    windows = {}
+    ep_path = os.path.join(job_dir, "binary/episodes.jsonl")
+    if os.path.isfile(ep_path):
+        rows = [json.loads(l) for l in open(ep_path)]
+        for lo, hi in [(0, 17758), (17758, 40000), (40000, 150000)]:
+            sel = [r for r in rows if lo <= r["number"] < hi]
+            if sel:
+                windows[f"{lo}-{hi}"] = {
+                    "n": len(sel),
+                    "frac_ge_128": round(
+                        sum(1 for r in sel if r["max_tile"] >= 128)
+                        / len(sel), 4,
+                    ),
+                }
     summary = {
         "job": name,
         "seed": seed,
-        "regime": "B (per-chip batch held; effective learner batch = "
-                  f"{wide_batch} rows, cap off)",
+        "regime": f"B (env_batch={wide_batch}, learner batch = "
+                  f"{eff_batch} rows, cap={'on' if cap else 'off'})",
+        "effective_learner_batch": eff_batch,
+        "warmup_episodes_target": warmup_episodes,
         "lr": cfg_b.learning_rate,
         "lr_scale": lr_scale,
+        "frac_ge_128_by_window": windows,
         "warmup": {"episodes": warm["episodes"], "wall_s": round(wall_warm, 1)},
         "wide": {
             "env_batch": wide_batch,
@@ -141,17 +182,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr-scale", type=float, default=1.0)
+    ap.add_argument("--mode", default="literal",
+                    choices=["literal", "lbatch", "latewiden"])
     ap.add_argument("--name", default=None)
     ap.add_argument("--episodes", type=int, default=30000)
-    ap.add_argument("--wide-batch", type=int, default=32768)
     ap.add_argument("--out", default="benchmarks/regimeB_r05.json")
     args = ap.parse_args()
     tag = "" if args.lr_scale == 1.0 else f"_lr{args.lr_scale:g}"
-    name = args.name or f"sss_regimeB_s{args.seed}{tag}"
-    summary = run_regime_b(
-        name, seed=args.seed, lr_scale=args.lr_scale,
-        total_episodes=args.episodes, wide_batch=args.wide_batch,
-    )
+    name = args.name or f"sss_regimeB_{args.mode}_s{args.seed}{tag}"
+    kw = dict(seed=args.seed, lr_scale=args.lr_scale,
+              total_episodes=args.episodes)
+    if args.mode == "literal":
+        kw.update(wide_batch=32768, wide_updates=320, cap=False)
+    elif args.mode == "lbatch":
+        # committed-flagship env geometry, 32,768-row learner batch only
+        kw.update(wide_batch=2560, wide_updates=25, batch_size=32768,
+                  cap=True)
+    else:  # latewiden: checkpoint window is pure b640 by construction
+        kw.update(wide_batch=32768, wide_updates=320, cap=False,
+                  warmup_episodes=20000, chunk_iters=64)
+    summary = run_regime_b(name, **kw)
     existing = []
     if os.path.isfile(args.out):
         with open(args.out) as f:

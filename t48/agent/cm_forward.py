@@ -90,9 +90,13 @@ def conv_q_cm(params, x_cm, dtype=jnp.float32):
     nb = len(batch_shape)
     bcast = lambda v: v.reshape((1, -1) + (1,) * nb)  # noqa: E731
 
-    # conv1: taps are single input channel; X1 [9 pos, 4 taps, *batch]
-    k1 = p["Conv_0"]["kernel"].astype(dtype).reshape(4, -1)  # [h*w*1, 64]
+    # conv1: taps are single input channel; X1 [9 pos, 4 taps, *batch].
+    # Channel widths are read from the param shapes, so the same code
+    # serves the reference 64/64/64 net and the wider capability-demo
+    # variants (networks.ConvQNet with any `features`/`fc_width`).
+    k1 = p["Conv_0"]["kernel"].astype(dtype).reshape(4, -1)  # [h*w*1, C1]
     b1 = p["Conv_0"]["bias"].astype(dtype)
+    c1 = k1.shape[-1]
     x1 = jnp.stack(
         [
             jnp.stack([x[(r + dr) * 4 + (c + dc)] for dr, dc in _TAPS])
@@ -100,11 +104,12 @@ def conv_q_cm(params, x_cm, dtype=jnp.float32):
         ]
     )  # [9, 4, *batch]
     h1 = jnp.einsum("pt...,tf->pf...", x1, k1) + bcast(b1)
-    h1 = jnp.maximum(h1, 0)  # [9, 64, *batch]
+    h1 = jnp.maximum(h1, 0)  # [9, C1, *batch]
 
-    # conv2: taps carry 64 channels; order (dh, dw, cin) = HWIO reshape
-    k2 = p["Conv_1"]["kernel"].astype(dtype).reshape(4 * 64, -1)  # [256, 64]
+    # conv2: taps carry C1 channels; order (dh, dw, cin) = HWIO reshape
+    k2 = p["Conv_1"]["kernel"].astype(dtype).reshape(4 * c1, -1)  # [4C1, C2]
     b2 = p["Conv_1"]["bias"].astype(dtype)
+    c2 = k2.shape[-1]
     x2 = jnp.stack(
         [
             jnp.concatenate(
@@ -112,20 +117,24 @@ def conv_q_cm(params, x_cm, dtype=jnp.float32):
             )
             for r, c in _CONV2_POS
         ]
-    )  # [4, 256, *batch]
+    )  # [4, 4C1, *batch]
     h2 = jnp.einsum("pt...,tf->pf...", x2, k2) + bcast(b2)
-    h2 = jnp.maximum(h2, 0)  # [4, 64, *batch]
+    h2 = jnp.maximum(h2, 0)  # [4, C2, *batch]
 
     # flatten in flax's (h, w, feature) order = our (pos, feature)
-    flat = h2.reshape((4 * 64,) + batch_shape)  # [256, *batch]
-    h3 = jnp.maximum(_dense(p["Dense_0"], flat, dtype), 0)  # [64, *batch]
+    flat = h2.reshape((4 * c2,) + batch_shape)  # [4C2, *batch]
+    h3 = jnp.maximum(_dense(p["Dense_0"], flat, dtype), 0)
     return _dense(p["Dense_1"], h3, dtype)  # [4, *batch]
 
 
 def build_cm_forward(arch: str, dtype=jnp.float32) -> Callable:
-    """(params, x_cm int[16, B]) → q [4, B] for the given architecture."""
-    if arch == "dense":
+    """(params, x_cm int[16, B]) → q [4, B] for the given architecture.
+
+    Both forwards read layer widths from the param shapes, so every
+    'dense*' arch routes through dense_q_cm and every 'conv*' arch
+    through conv_q_cm (networks.build_network defines the families)."""
+    if arch.startswith("dense"):
         return lambda params, x_cm: dense_q_cm(params, x_cm, dtype)
-    if arch == "conv":
+    if arch.startswith("conv"):
         return lambda params, x_cm: conv_q_cm(params, x_cm, dtype)
     raise ValueError(f"unknown architecture: {arch!r}")

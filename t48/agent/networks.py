@@ -92,4 +92,11 @@ def build_network(arch: str, dtype: jnp.dtype = jnp.float32) -> nn.Module:
         return DenseQNet(dtype=dtype)
     if arch == "conv":
         return ConvQNet(dtype=dtype)
+    # capability-demo variants (r05, beyond reference parity): same
+    # module families, wider layers. The cell-major forwards read layer
+    # widths from the param shapes, so these run the identical hot path.
+    if arch == "dense_wide":
+        return DenseQNet(hidden=(1024, 1024, 512), dtype=dtype)
+    if arch == "conv_wide":
+        return ConvQNet(features=(128, 128), fc_width=128, dtype=dtype)
     raise ValueError(f"unknown architecture: {arch!r}")

@@ -25,16 +25,31 @@ import numpy as np
 
 def load_episodes(job_folder: str) -> List[dict]:
     """Load episode metric dicts from a job folder (JSONL preferred,
-    pickle fallback — both are written by t48.exp.Experiment)."""
+    pickle fallback — both are written by t48.exp.Experiment; a
+    gzip-compressed ``episodes.jsonl.gz`` is also accepted so long runs
+    can be committed as compact evidence, r05)."""
     jsonl = os.path.join(job_folder, "binary/episodes.jsonl")
+    jsonl_gz = jsonl + ".gz"
     pick = os.path.join(job_folder, "binary/episodes.p")
-    if os.path.isfile(jsonl):
+
+    def _read(f):
         episodes = []
+        for line in f:
+            line = line.strip()
+            if line:
+                episodes.append(json.loads(line))
+        return episodes
+
+    if os.path.isfile(jsonl):
         with open(jsonl) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    episodes.append(json.loads(line))
+            episodes = _read(f)
+        if episodes:
+            return episodes
+    if os.path.isfile(jsonl_gz):
+        import gzip
+
+        with gzip.open(jsonl_gz, "rt") as f:
+            episodes = _read(f)
         if episodes:
             return episodes
     with open(pick, "rb") as f:

@@ -228,9 +228,9 @@ def np_prod_mesh(mesh) -> int:
 
 def encoder_for(arch: str, k: int) -> Callable:
     """Encoder from *flat int8 exponent* storage to network input."""
-    if arch == "dense":
+    if arch.startswith("dense"):
         return lambda flat: flat.astype(jnp.float32)
-    if arch == "conv":
+    if arch.startswith("conv"):
         return lambda flat: flat.astype(jnp.float32).reshape(
             flat.shape[0], k, k, 1
         )

@@ -451,7 +451,10 @@ def train(
         # still alive each dump the shards they can address; params and
         # counters are replicated so any single survivor preserves the
         # model (t48/exp/checkpoint.py shard-dump design note).
-        if multiprocess:
+        # T48_EMERGENCY_SHARDS forces the shard-dump path in a single
+        # process too — failure drills at multi-DEVICE mesh geometries
+        # (the 8-device dryrun) without needing multiple processes.
+        if multiprocess or os.environ.get("T48_EMERGENCY_SHARDS"):
             d = save_process_shards(
                 os.path.join(job_dir, "binary", "emergency"), state
             )
@@ -470,7 +473,12 @@ def train(
     fault_at = int(os.environ.get("T48_FAULT_INJECT_EPISODES", "0") or 0)
 
     watchdog = None
-    if config.watchdog_timeout_s and multiprocess:
+    # armed for multi-process runs (peer-failure detection); the
+    # T48_WATCHDOG_FORCE hook arms it single-process for failure drills
+    # at virtual-mesh geometries (it fires the same dump path)
+    if config.watchdog_timeout_s and (
+        multiprocess or os.environ.get("T48_WATCHDOG_FORCE")
+    ):
         watchdog = ChunkWatchdog(
             config.watchdog_timeout_s,
             os.path.join(job_dir, "binary", "emergency"),
