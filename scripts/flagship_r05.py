@@ -49,7 +49,8 @@ from t48.train.trainer import train
 from t48.train.widen import widen_job_checkpoint
 
 
-def evaluate_job(job_dir: str, games: int = 1000, seed: int = 123) -> dict:
+def evaluate_job(job_dir: str, games: int = 1000, seed: int = 123,
+                 lookahead: bool = False) -> dict:
     """1000-game greedy evaluation of a job's checkpoint (the reference's
     player protocol, player.py:101-106); writes eval_summary into the
     job's hyperparams."""
@@ -78,7 +79,7 @@ def evaluate_job(job_dir: str, games: int = 1000, seed: int = 123) -> dict:
     )
     player = Player(
         experiment=experiment, apply_fn=net.apply, params=params,
-        encode=encode,
+        encode=encode, lookahead=lookahead, gamma=config.discount_factor,
     )
     stats = player.play_n_games(games, seed=seed, record_history=False)
     experiment.close()

@@ -86,6 +86,64 @@ def greedy_model_policy(apply_fn, params, encode, encoding: str = "log"):
     return policy
 
 
+def lookahead_model_policy(apply_fn, params, encode, gamma: float = 0.95):
+    """Depth-1 expectimax over the learned Q (r05 capability demo —
+    BEYOND reference parity; the reference evaluates greedy-argmax only,
+    player.py:40-64).
+
+    Scores each legal action by the exact Bellman backup the training
+    target estimates by sampling (t48/agent/learner.py):
+
+        score(a) = delta_a + gamma * E_spawn[ V(child) ],
+        V(s)     = max_a' Q(s, a') over legal a' (0 if terminal),
+
+    where the expectation is computed in closed form over every empty
+    cell x {2, 4} spawn of the post-move board (the engine's uniform
+    2/4 spawn, board.py:41-51). One device program per step: 4 x 16 x 2
+    = 128 child boards per game, batched through the Q-net.
+    """
+    from t48.env import engine as _eng
+
+    vals = jnp.array([1, 2], jnp.int32)  # spawn exponents for 2 and 4
+
+    def policy(key, boards, legal, _context=None):
+        del key
+        b, k, _ = boards.shape
+        cells = k * k
+        moved, deltas, _ = _eng.peek_all(boards)  # [B,4,k,k], [B,4]
+        mflat = moved.reshape(b, 4, cells).astype(jnp.int32)
+        empty = mflat == 0  # [B,4,C]
+        n_empty = empty.sum(-1)  # [B,4]
+
+        # children [B, 4, C, 2, C]: moved board with cell i set to v
+        eye = jnp.eye(cells, dtype=jnp.int32)
+        children = (
+            mflat[:, :, None, None, :]
+            + eye[None, None, :, None, :] * vals[None, None, None, :, None]
+        )
+        flat = children.reshape(-1, cells)
+        q = apply_fn(params, encode(flat.astype(jnp.int8)))  # [N, 4]
+        child_legal = jnp.stack(
+            _eng.legal_cells(_eng.split_cells(
+                flat.reshape(-1, k, k)), k), axis=-1,
+        )  # [N, 4]
+        v = jnp.max(
+            jnp.where(child_legal, q.astype(jnp.float32), -jnp.inf), axis=-1
+        )
+        v = jnp.where(child_legal.any(-1), v, 0.0)  # terminal child: 0
+        v = v.reshape(b, 4, cells, 2)
+        # E over uniform empty cell x uniform {2,4}
+        w = empty.astype(jnp.float32) / jnp.maximum(
+            n_empty[:, :, None].astype(jnp.float32), 1.0
+        )
+        ev = 0.5 * jnp.sum(w[..., None] * v, axis=(2, 3))  # [B, 4]
+        score = deltas.astype(jnp.float32) + gamma * ev
+        masked = jnp.where(legal, score, -jnp.inf)
+        return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+
+    return policy
+
+
 # ---------------------------------------------------------------------------
 # Batched evaluation
 # ---------------------------------------------------------------------------
@@ -236,9 +294,15 @@ class Player:
     summaries/histories through an ``Experiment``."""
 
     def __init__(self, experiment=None, apply_fn=None, params=None, encode=None,
-                 encoding: str = "log"):
+                 encoding: str = "log", lookahead: bool = False,
+                 gamma: float = 0.95):
         self.experiment = experiment
-        if apply_fn is not None:
+        if apply_fn is not None and lookahead:
+            # r05 capability demo: depth-1 expectimax over the learned Q
+            self.policy = lookahead_model_policy(
+                apply_fn, params, encode, gamma=gamma
+            )
+        elif apply_fn is not None:
             self.policy = greedy_model_policy(apply_fn, params, encode, encoding)
         else:
             self.policy = None

@@ -137,6 +137,8 @@ def cmd_evaluate(args) -> int:
         params=params,
         encode=encode,
         encoding=args.encoding,
+        lookahead=getattr(args, "lookahead", False),
+        gamma=config.discount_factor,
     )
     stats = player.play_n_games(
         args.games, seed=args.seed, record_history=args.histories
@@ -345,6 +347,9 @@ def main(argv=None) -> int:
                         "training compute_dtype)")
     p.add_argument("--histories", action="store_true",
                    help="record and persist full game histories")
+    p.add_argument("--lookahead", action="store_true",
+                   help="depth-1 expectimax over the learned Q instead "
+                        "of greedy argmax (r05 capability demo)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("baselines", help="random + upleft baseline runs")

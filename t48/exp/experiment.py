@@ -63,8 +63,15 @@ class Experiment:
                 self.hyperparameters = pickle.load(f)
             with open(self._p("binary/runtime.p"), "rb") as f:
                 prior_runtime = pickle.load(f)
-            with open(self._p("binary/episodes.p"), "rb") as f:
-                self.episodes = pickle.load(f)
+            # episodes.p may be absent: stream-retention runs keep only
+            # the JSONL, and committed evidence folders are pruned to
+            # episodes.jsonl.gz (r05). Resume with an empty in-memory
+            # list in that case — the JSONL on disk remains the record.
+            if os.path.isfile(self._p("binary/episodes.p")):
+                with open(self._p("binary/episodes.p"), "rb") as f:
+                    self.episodes = pickle.load(f)
+            else:
+                self.episodes = []
             # continue the wall clock from the recorded elapsed time
             self.runtime = time.time() - prior_runtime
         else:
