@@ -48,7 +48,7 @@ def main():
         max_updates_per_iteration=25,
         no_episodes_before_training=0,
         use_astar_seed=False,
-        chunk_iters=128,
+        chunk_iters=32,
         seed=0,
     )
     assert loop_lib.resolve_env_backend(cfg) == "pallas"
@@ -60,7 +60,7 @@ def main():
     jax.block_until_ready(state.params)
 
     with profile_session(tmp):
-        for i in range(3):
+        for i in range(2):
             with step_annotation("train_chunk", i):
                 state, _ = chunk(state)
         jax.block_until_ready(state.params)
@@ -75,8 +75,8 @@ def main():
     dst = os.path.join(out_dir, "flagship_chunk_r05.xplane.pb")
     shutil.copy(src, dst)
     meta = {
-        "config": "sss_published b2560 u25 chunk_iters=128, Pallas env",
-        "chunks_captured": 3,
+        "config": "sss_published b2560 u25 chunk_iters=32, Pallas env",
+        "chunks_captured": 2,
         "device": str(jax.devices()[0]),
         "episodes_after": int(state.episodes_done),
         "updates_after": int(state.train_steps),
