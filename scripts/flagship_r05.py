@@ -81,7 +81,10 @@ def evaluate_job(job_dir: str, games: int = 1000, seed: int = 123,
         experiment=experiment, apply_fn=net.apply, params=params,
         encode=encode, lookahead=lookahead, gamma=config.discount_factor,
     )
-    stats = player.play_n_games(games, seed=seed, record_history=False)
+    stats = player.play_n_games(
+        games, seed=seed, record_history=False,
+        device_batch=1000 if lookahead else 0,
+    )
     experiment.close()
     return stats
 

@@ -112,31 +112,39 @@ def lookahead_model_policy(apply_fn, params, encode, gamma: float = 0.95):
         cells = k * k
         moved, deltas, _ = _eng.peek_all(boards)  # [B,4,k,k], [B,4]
         mflat = moved.reshape(b, 4, cells).astype(jnp.int32)
-        empty = mflat == 0  # [B,4,C]
-        n_empty = empty.sum(-1)  # [B,4]
-
-        # children [B, 4, C, 2, C]: moved board with cell i set to v
         eye = jnp.eye(cells, dtype=jnp.int32)
-        children = (
-            mflat[:, :, None, None, :]
-            + eye[None, None, :, None, :] * vals[None, None, None, :, None]
-        )
-        flat = children.reshape(-1, cells)
-        q = apply_fn(params, encode(flat.astype(jnp.int8)))  # [N, 4]
-        child_legal = jnp.stack(
-            _eng.legal_cells(_eng.split_cells(
-                flat.reshape(-1, k, k)), k), axis=-1,
-        )  # [N, 4]
-        v = jnp.max(
-            jnp.where(child_legal, q.astype(jnp.float32), -jnp.inf), axis=-1
-        )
-        v = jnp.where(child_legal.any(-1), v, 0.0)  # terminal child: 0
-        v = v.reshape(b, 4, cells, 2)
-        # E over uniform empty cell x uniform {2,4}
-        w = empty.astype(jnp.float32) / jnp.maximum(
-            n_empty[:, :, None].astype(jnp.float32), 1.0
-        )
-        ev = 0.5 * jnp.sum(w[..., None] * v, axis=(2, 3))  # [B, 4]
+
+        # Children evaluated PER ACTION (static 4-way unroll) instead of
+        # one [B,4,C,2,C] tensor: a quarter of the peak live memory —
+        # the all-at-once form OOM-crashed the TPU worker at 5000
+        # parallel games (~640k child boards per step); per-action the
+        # forward still batches B*2C boards, plenty for the MXU.
+        evs = []
+        for a in range(4):
+            ma = mflat[:, a]  # [B, C]
+            empty = ma == 0
+            n_empty = empty.sum(-1)  # [B]
+            children = (
+                ma[:, None, None, :]
+                + eye[None, :, None, :] * vals[None, None, :, None]
+            )  # [B, C, 2, C]
+            flat = children.reshape(-1, cells)
+            q = apply_fn(params, encode(flat.astype(jnp.int8)))
+            child_legal = jnp.stack(
+                _eng.legal_cells(_eng.split_cells(
+                    flat.reshape(-1, k, k)), k), axis=-1,
+            )
+            v = jnp.max(
+                jnp.where(child_legal, q.astype(jnp.float32), -jnp.inf),
+                axis=-1,
+            )
+            v = jnp.where(child_legal.any(-1), v, 0.0)  # terminal: 0
+            v = v.reshape(b, cells, 2)
+            w = empty.astype(jnp.float32) / jnp.maximum(
+                n_empty[:, None].astype(jnp.float32), 1.0
+            )
+            evs.append(0.5 * jnp.sum(w[..., None] * v, axis=(1, 2)))
+        ev = jnp.stack(evs, axis=-1)  # [B, 4]
         score = deltas.astype(jnp.float32) + gamma * ev
         masked = jnp.where(legal, score, -jnp.inf)
         return jnp.argmax(masked, axis=-1).astype(jnp.int32)
@@ -316,25 +324,50 @@ class Player:
         seed: int = 0,
         max_steps: int = 4096,
         record_history: bool = False,
+        device_batch: int = 0,
     ) -> dict:
+        """``device_batch > 0`` splits the run into device programs of at
+        most that many parallel games and aggregates (r05): a 5000-game
+        LOOKAHEAD program is ~25s of device time in one call, which the
+        remote-attached worker does not survive — chunking keeps each
+        program short. 0 = all games in one program (the default; fine
+        for greedy/random/upleft at any n tried). Not combined with
+        ``record_history`` (histories stay single-program)."""
         if upleft:
             policy = upleft_policy
         elif random or self.policy is None:
             policy = random_policy
         else:
             policy = self.policy
-        out = play_games(
-            policy,
-            n,
-            jax.random.PRNGKey(seed),
-            max_steps=max_steps,
-            record_history=record_history,
-        )
-        if record_history:
-            results, history = out
-            self._assemble_histories(history)
+        if device_batch and n > device_batch and not record_history:
+            parts = []
+            done = 0
+            while done < n:
+                m = min(device_batch, n - done)
+                parts.append(play_games(
+                    policy, m, jax.random.PRNGKey(seed + 7919 * len(parts)),
+                    max_steps=max_steps,
+                ))
+                done += m
+            results = GameResults(
+                max_tile=jnp.concatenate([p.max_tile for p in parts]),
+                merge_score=jnp.concatenate([p.merge_score for p in parts]),
+                number_moves=jnp.concatenate([p.number_moves for p in parts]),
+                finished=jnp.concatenate([p.finished for p in parts]),
+            )
         else:
-            results = out
+            out = play_games(
+                policy,
+                n,
+                jax.random.PRNGKey(seed),
+                max_steps=max_steps,
+                record_history=record_history,
+            )
+            if record_history:
+                results, history = out
+                self._assemble_histories(history)
+            else:
+                results = out
         stats = summarize(results)
         if self.experiment is not None:
             if record_history:

@@ -141,7 +141,11 @@ def cmd_evaluate(args) -> int:
         gamma=config.discount_factor,
     )
     stats = player.play_n_games(
-        args.games, seed=args.seed, record_history=args.histories
+        args.games, seed=args.seed, record_history=args.histories,
+        # lookahead programs evaluate 32 child boards per game per cell
+        # tap — chunk large runs so no single device program runs tens
+        # of seconds (the remote worker dies on very long programs)
+        device_batch=1000 if getattr(args, "lookahead", False) else 0,
     )
     print(json.dumps(stats, indent=2))
     return 0
