@@ -305,6 +305,7 @@ class Player:
                  encoding: str = "log", lookahead: bool = False,
                  gamma: float = 0.95):
         self.experiment = experiment
+        self.lookahead = lookahead
         if apply_fn is not None and lookahead:
             # r05 capability demo: depth-1 expectimax over the learned Q
             self.policy = lookahead_model_policy(
@@ -373,7 +374,13 @@ class Player:
             if record_history:
                 self.experiment.save_games_played(self.games_history)
                 self.games_history = []
-            self.experiment.add_hyperparameter({"eval_summary": stats})
+            # lookahead evals persist under their own key so they never
+            # clobber the job's committed greedy eval_summary evidence
+            key = (
+                "eval_summary_lookahead" if self.lookahead
+                else "eval_summary"
+            )
+            self.experiment.add_hyperparameter({key: stats})
             self.experiment.save()
         return stats
 

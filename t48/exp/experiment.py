@@ -200,7 +200,8 @@ class Experiment:
         lines = [f"## {os.path.basename(self.folder)}"]
         lines.append(f"- started: {time.strftime('%Y-%m-%d %H:%M:%S')}")
         for key in sorted(self.hyperparameters):
-            if key in ("throughput", "eval_summary"):
+            if key in ("throughput", "eval_summary",
+                       "eval_summary_lookahead", "counter_totals"):
                 continue  # run outputs, not hyperparameters
             lines.append(f"- {key}: {self.hyperparameters[key]}")
         with open(path, "a") as f:
